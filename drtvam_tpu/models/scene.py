@@ -1,0 +1,171 @@
+"""Scene assembly: JSON config -> (MarchStatic, device arrays).
+
+This replaces the reference's Mitsuba scene-dict construction
+(optimize.py:15-79 `load_scene` + `mi.load_dict`): instead of a C++
+scene graph with BVH acceleration, a scene compiles down to
+  * a static, hashable description (surface kinds/BSDFs/topology,
+    projector and sensor configuration) that is baked into the jitted
+    render, and
+  * a flat dict of device arrays (surface parameters, triangle banks,
+    medium coefficients, sparse pattern indices) the kernels index.
+
+Target handling mirrors the reference:
+  * the target mesh is normalized into the print volume with
+    v' = (v - bbox_center) * size / max(extent) + box_center
+    (optimize.py:33-50);
+  * when the optimization is NOT surface-aware, the target is removed
+    from the render scene (the reference translates it away by +1e5,
+    optimize.py:188-191) — `build(include_target=False)`;
+  * radon / corner filter renders keep the target (they run before the
+    reference moves it).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .geometry import geometries, SurfaceSpec, MESH, NULL
+from .projector import Projector
+from .sensor import Sensor
+from ..ops.mesh import TriMesh, load_ply
+from ..ops.march import MarchStatic, SurfaceStatic
+
+
+def _mesh_transform(mesh: TriMesh, cfg):
+    """Scale/center transform from the reference driver (optimize.py:33-50)."""
+    bmin, bmax = mesh.bbox
+    c = 0.5 * (bmin + bmax)
+    size = float(cfg.get("size", 1.0))
+    center = np.array([cfg.get("box_center_x", 0.0),
+                       cfg.get("box_center_y", 0.0),
+                       cfg.get("box_center_z", 0.0)], np.float32)
+    scale = size / float((bmax - bmin).max())
+    return mesh.transformed(scale=scale, translate=center - c * scale)
+
+
+class Scene:
+    """Host-side scene: parsed config + mesh/array staging."""
+
+    def __init__(self, config, resolve_path=lambda p: p):
+        for key in ("target", "vial", "projector", "sensor"):
+            if key not in config:
+                raise ValueError(
+                    f"Missing field '{key}' in the configuration file.")
+        vcfg = config["vial"]
+        if "type" not in vcfg:
+            raise ValueError("The vial geometry must have a 'type' field.")
+        if vcfg["type"] not in geometries:
+            raise ValueError(f"Unknown vial geometry: '{vcfg['type']}'")
+        self.vial = geometries[vcfg["type"]](vcfg, resolve_path)
+        self.medium = self.vial.medium
+
+        if "filename" not in config["target"]:
+            raise ValueError("Missing field 'filename' for the target shape.")
+        raw_target = load_ply(resolve_path(config["target"]["filename"]))
+        self.target_mesh = _mesh_transform(raw_target, config["target"])
+
+        self.projector = Projector(config["projector"], resolve_path)
+        self.sensor = Sensor(config["sensor"])
+        self.final_sensor = Sensor(config["final_sensor"]) \
+            if "final_sensor" in config else self.sensor
+        if self.final_sensor.surface_aware:
+            raise ValueError(
+                "The final sensor is used to generate visualizations and "
+                "metrics of the final simulated print. Therefore, it must "
+                "not be surface-aware. If you are using the surface-aware "
+                "discretization for optimization, please specify another "
+                "sensor called 'final_sensor' in the configuration file.")
+        self.config = config
+        self._target_bank = None
+
+    # -- target staging ----------------------------------------------------
+
+    def target_bank(self):
+        """Device triangle bank (v0, e1, e2, n) of the transformed target."""
+        if self._target_bank is None:
+            v0, e1, e2, n = self.target_mesh.triangle_bank()
+            self._target_bank = tuple(jnp.asarray(a) for a in (v0, e1, e2, n))
+        return self._target_bank
+
+    # -- render-scene compilation -------------------------------------------
+
+    def _surface_specs(self, include_target):
+        specs = list(self.vial.surfaces())
+        if include_target:
+            specs.append(SurfaceSpec(kind=MESH, bsdf=NULL,
+                                     mesh=self.target_mesh, is_target=True,
+                                     name="target"))
+        return specs
+
+    def build(self, mode="volume", include_target=None, max_depth=6,
+              rr_depth=6, print_time=1.0, transmission_only=True,
+              regular_sampling=False, sample_time=False, sensor=None):
+        """Compile to (MarchStatic, arrays) for ops.render.
+
+        include_target defaults to the reference's behavior: present for
+        radon/corner filters, present in volume mode only when the
+        optimization sensor is surface-aware.
+        """
+        if include_target is None:
+            include_target = (mode != "volume") or self.sensor.surface_aware
+        sensor = sensor if sensor is not None else self.sensor
+        specs = self._surface_specs(include_target)
+
+        statics, params, etas = [], [], []
+        tri_v0, tri_e1, tri_e2, tri_n = [], [], [], []
+        tri_cursor = 0
+        for s in specs:
+            tri_slice = (0, 0)
+            if s.kind == MESH:
+                v0, e1, e2, n = s.mesh.triangle_bank()
+                tri_v0.append(v0)
+                tri_e1.append(e1)
+                tri_e2.append(e2)
+                tri_n.append(n)
+                tri_slice = (tri_cursor, v0.shape[0])
+                tri_cursor += v0.shape[0]
+            statics.append(SurfaceStatic(
+                kind=s.kind, bsdf=s.bsdf, medium_side=s.medium_side,
+                is_target=s.is_target, tri_slice=tri_slice))
+            params.append(s.params)
+            etas.append(s.eta)
+
+        if tri_cursor == 0:
+            # keep the keys present; never indexed when no MESH surfaces
+            tri_v0 = [np.zeros((1, 3), np.float32)]
+            tri_e1 = [np.zeros((1, 3), np.float32)]
+            tri_e2 = [np.zeros((1, 3), np.float32)]
+            tri_n = [np.zeros((1, 3), np.float32)]
+
+        m = self.medium
+        static = MarchStatic(
+            surfaces=tuple(statics),
+            projector=self.projector.static(),
+            sensor=sensor.static,
+            has_scattering=m.albedo > 0.0,
+            phase=m.phase,
+            max_depth=max_depth,
+            rr_depth=rr_depth,
+            transmission_only=transmission_only,
+            regular_sampling=regular_sampling,
+            sample_time=sample_time,
+            clockwise=self.projector.motion.clockwise,
+            mode=mode,
+        )
+        arr = {
+            "surf_params": jnp.asarray(np.asarray(params, np.float32)),
+            "surf_eta": jnp.asarray(np.asarray(etas, np.float32)),
+            "tri_v0": jnp.asarray(np.concatenate(tri_v0)),
+            "tri_e1": jnp.asarray(np.concatenate(tri_e1)),
+            "tri_e2": jnp.asarray(np.concatenate(tri_e2)),
+            "tri_n": jnp.asarray(np.concatenate(tri_n)),
+            "bbox_min": jnp.asarray(sensor.bbox_min),
+            "bbox_max": jnp.asarray(sensor.bbox_max),
+            "sigma_t": jnp.float32(m.sigma_t),
+            "albedo": jnp.float32(m.albedo),
+            "phase_g": jnp.float32(m.phase_g),
+            "majorant": jnp.float32(max(sensor.majorant, 1e-30)),
+            "print_time": jnp.float32(print_time),
+        }
+        arr.update(self.projector.arrays())
+        return static, arr

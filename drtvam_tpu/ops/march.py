@@ -1,0 +1,489 @@
+"""The wavefront volumetric path tracer: forward dose + adjoint.
+
+This is the TPU-native replacement for the reference's Dr.Jit megakernel
+(integrators/volume.py:136-282 `sample`) and its per-segment dose
+estimators (sensor.py: DDA :306-440, ratio :205-295, delta :121-191).
+Instead of a recorded per-lane `while` megakernel, the path loop is a
+`lax.while_loop` over a fixed wavefront with per-lane active masks;
+everything is branchless and float32.
+
+Estimator semantics replicated exactly (numerically, not bitwise):
+  * attenuation tracks Fresnel/BSDF weights and albedo^n_scat only; the
+    analytic medium transmittance exp(-sigma_t * t_prev) is applied at
+    deposit time in non-scattering mode (the reference keeps it inside
+    `attenuation` and "undoes" it with exp(+sigma_t t_prev) — numerically
+    identical, ours avoids the exp overflow pair);
+  * in scattering mode history transmittance is stochastic (free-flight
+    sampling), so deposits carry no t_prev factor;
+  * DDA deposits the analytic per-voxel absorption
+      A * (sa/st) * em * exp(-st*t) * (1 - exp(-st*dt))
+    walking voxels Amanatides-Woo style;
+  * ratio tracking marches exponential steps against a majorant with
+    weight (sa/st) * (1 - st/M)^k * (st/M);
+  * delta deposits A * (sa/st) * em at the sampled interaction voxel.
+
+The backward pass re-traces the same paths (same counter-based RNG
+stream, reference volume.py:116) gathering the loss-gradient volume at
+each deposit site and accumulating per-lane emitter gradients
+(sensor.py:180-186), which segment-sum into pattern gradients.
+
+The `inside_target` parity flip including its documented leak caveat
+(volume.py:219) and the medium-transition bookkeeping (volume.py:268)
+are preserved.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import Sampler
+from .intersect import ray_cylinder, ray_box, ray_triangles
+from .fresnel import refract
+from .medium import sample_phase_direction, sample_free_flight
+from ..models.projector import ProjectorStatic, sample_rays, ray_weight
+from ..models.sensor import SensorStatic
+from ..models.geometry import CYLINDER, BOX, MESH, DIELECTRIC, NULL, ABSORB
+
+INF = jnp.float32(jnp.inf)
+RAY_EPS = 1e-4
+
+
+@dataclass(frozen=True)
+class SurfaceStatic:
+    kind: int            # CYLINDER | BOX | MESH
+    bsdf: int            # DIELECTRIC | NULL | ABSORB
+    medium_side: int     # 0 none, 1 interior is medium, 2 exterior
+    is_target: bool
+    tri_slice: Tuple[int, int]  # (start, count) into the triangle bank
+
+
+@dataclass(frozen=True)
+class MarchStatic:
+    surfaces: Tuple[SurfaceStatic, ...]
+    projector: ProjectorStatic
+    sensor: SensorStatic
+    has_scattering: bool
+    phase: Optional[str]
+    max_depth: int
+    rr_depth: int
+    transmission_only: bool
+    regular_sampling: bool
+    sample_time: bool
+    clockwise: bool
+    mode: str = "volume"      # 'volume' | 'radon'
+
+
+# --------------------------------------------------------------------------
+# scene intersection over the static surface list
+
+
+def intersect_scene(static: MarchStatic, arr, o, d, active):
+    tmin = jnp.full(o.shape[:-1], RAY_EPS, jnp.float32)
+    t_best = jnp.full(o.shape[:-1], INF)
+    n_best = jnp.zeros_like(o)
+    sid = jnp.full(o.shape[:-1], -1, jnp.int32)
+    for i, s in enumerate(static.surfaces):
+        if s.kind == CYLINDER:
+            t, n = ray_cylinder(o, d, tmin, arr["surf_params"][i, 0],
+                                arr["surf_params"][i, 1],
+                                arr["surf_params"][i, 2])
+        elif s.kind == BOX:
+            t, n = ray_box(o, d, tmin, arr["surf_params"][i, :3])
+        else:
+            a, c = s.tri_slice
+            t, tri = ray_triangles(o, d, tmin,
+                                   arr["tri_v0"][a:a + c],
+                                   arr["tri_e1"][a:a + c],
+                                   arr["tri_e2"][a:a + c])
+            n = arr["tri_n"][a:a + c][jnp.clip(tri, 0, c - 1)]
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        n_best = jnp.where(better[..., None], n, n_best)
+        sid = jnp.where(better, i, sid)
+    valid = active & jnp.isfinite(t_best)
+    return t_best, n_best, sid, valid
+
+
+def _static_i32(vals):
+    return jnp.asarray(vals, jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# dose estimators: one straight segment [o, o + maxt*d]
+
+
+def _voxel_flat(static: MarchStatic, p, bbox_min, inv_vs, inside_target):
+    X, Y, Z = static.sensor.res
+    C = static.sensor.channels
+    v = jnp.floor((p - bbox_min) * inv_vs).astype(jnp.int32)
+    in_grid = jnp.all(v >= 0, -1) & \
+        jnp.all(v < jnp.asarray([X, Y, Z], jnp.int32), -1)
+    flat = v[..., 0] + X * (v[..., 1] + Y * v[..., 2])
+    if C == 2:
+        flat = 2 * flat + jnp.where(inside_target, 0, 1)
+    return flat, in_grid
+
+
+def _deposit(primal, acc, g, dL, flat, val, mask):
+    """primal: scatter-add val into acc; adjoint: gather dL, add to g."""
+    idx = jnp.where(mask, flat, 0)
+    if primal:
+        acc = acc.at[idx].add(jnp.where(mask, val, 0.0))
+        return acc, g
+    gathered = dL[idx]
+    g = g + jnp.where(mask, val * gathered, 0.0)
+    return acc, g
+
+
+def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
+                A, em, inside_target, active):
+    """Amanatides-Woo voxel walk with analytic per-voxel absorption
+    (reference sensor.py:306-440)."""
+    X, Y, Z = static.sensor.res
+    bmin, bmax = arr["bbox_min"], arr["bbox_max"]
+    vs = (bmax - bmin) / jnp.asarray([X, Y, Z], jnp.float32)
+    res = jnp.asarray([X, Y, Z], jnp.int32)
+    st = arr["sigma_t"]
+    sa_over_st = 1.0 - arr["albedo"]
+
+    safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    t_b0 = (bmin - o) / safe_d
+    t_b1 = (bmax - o) / safe_d
+    mint_box = jnp.maximum(jnp.max(jnp.minimum(t_b0, t_b1), -1), 0.0)
+    maxt_box = jnp.min(jnp.maximum(t_b0, t_b1), -1)
+    t_start = jnp.maximum(mint_box, 0.0)
+    t_end = jnp.minimum(maxt_box, maxt)
+    active = active & jnp.isfinite(t_start) & jnp.isfinite(t_end) & \
+        (t_start < t_end)
+
+    grid_start = o + t_start[..., None] * d
+    grid_end = o + t_end[..., None] * d
+    step_dir = jnp.where(d > 0, 1, -1).astype(jnp.int32)
+    start_voxel = jnp.clip(((grid_start - bmin) / vs).astype(jnp.int32),
+                           0, res - 1)
+    end_voxel = jnp.clip(((grid_end - bmin) / vs).astype(jnp.int32),
+                         0, res - 1)
+    next_voxel_pos = bmin + (start_voxel + step_dir) * vs + \
+        jnp.where(d < 0, vs, 0.0)
+    valid_dir = jnp.abs(d) > 1e-8
+    dtmax = jnp.where(valid_dir, (next_voxel_pos - grid_start) / safe_d, INF)
+    dtmax = jnp.where(dtmax < 0, INF, dtmax)
+    tstep = jnp.where(valid_dir, vs / safe_d * step_dir, INF)
+
+    # history transmittance: analytic in pure-absorption mode, stochastic
+    # (via free-flight sampling) when scattering
+    if static.has_scattering:
+        hist = A
+    else:
+        hist = A * jnp.exp(-st * t_prev)
+    base = hist * sa_over_st * (em if primal else 1.0)
+
+    X_, Y_, Z_ = static.sensor.res
+    C = static.sensor.channels
+    max_steps = X_ + Y_ + Z_ + 2
+    inv_vs = 1.0 / vs
+    chan = jnp.where(inside_target, 0, 1) if C == 2 else None
+
+    def cond(carry):
+        i, act, *_ = carry
+        return jnp.any(act) & (i < max_steps)
+
+    def body(carry):
+        i, act, voxel, dtmax, t, remaining, acc, g = carry
+        dt = jnp.minimum(jnp.min(dtmax, -1), remaining)
+        remaining = jnp.where(act, remaining - dt, remaining)
+        contrib = base * jnp.exp(-st * t) * \
+            (1.0 - jnp.exp(-st * jnp.maximum(dt, 0.0)))
+        flat = voxel[..., 0] + X_ * (voxel[..., 1] + Y_ * voxel[..., 2])
+        if C == 2:
+            flat = 2 * flat + chan
+        acc, g = _deposit(primal, acc, g, dL, flat, contrib, act)
+
+        act = act & jnp.any(end_voxel != voxel, -1) & (remaining > 1e-6)
+        mask = dtmax == dt[..., None]
+        dtmax = jnp.where(mask, tstep, dtmax - dt[..., None])
+        upd = jnp.where(mask, step_dir, 0)
+        voxel = jnp.where(act[..., None], voxel + upd, voxel)
+        act = act & jnp.all(voxel >= 0, -1) & jnp.all(voxel < res, -1)
+        t = jnp.where(act, t + dt, t)
+        return (i + 1, act, voxel, dtmax, t, remaining, acc, g)
+
+    carry = (jnp.int32(0), active, start_voxel, dtmax, t_start,
+             t_end - t_start, acc, g)
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[-2], carry[-1]
+
+
+def ratio_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
+                  A, em, inside_target, active, sampler, lane, ctr):
+    """Ratio-tracking estimator (reference sensor.py:205-295)."""
+    st = arr["sigma_t"]
+    sa_over_st = 1.0 - arr["albedo"]
+    M = arr["majorant"]
+    bmin, bmax = arr["bbox_min"], arr["bbox_max"]
+    X, Y, Z = static.sensor.res
+    vs = (bmax - bmin) / jnp.asarray([X, Y, Z], jnp.float32)
+    inv_vs = 1.0 / vs
+
+    if static.has_scattering:
+        hist = A
+    else:
+        hist = A * jnp.exp(-st * t_prev)
+    base = hist * sa_over_st * (em if primal else 1.0) * (st / M)
+    log_ratio = jnp.log(jnp.maximum(1.0 - st / M, 1e-30))
+
+    def cond(carry):
+        i, act, *_ = carry
+        return jnp.any(act) & (i < 65536)
+
+    def body(carry):
+        i, act, t, k, ctr, acc, g = carry
+        u, ctr = sampler.next_1d(lane, ctr)
+        t = jnp.where(act, t + sample_free_flight(u, M), t)
+        act = act & (t < maxt)
+        p = o + t[..., None] * d
+        flat, in_grid = _voxel_flat(static, p, bmin, inv_vs, inside_target)
+        contrib = base * jnp.exp(k * log_ratio)
+        acc, g = _deposit(primal, acc, g, dL, flat, contrib, act & in_grid)
+        k = jnp.where(act, k + 1.0, k)
+        return (i + 1, act, t, k, ctr, acc, g)
+
+    n = o.shape[0]
+    carry = (jnp.int32(0), active, jnp.zeros((n,), jnp.float32),
+             jnp.zeros((n,), jnp.float32), ctr, acc, g)
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[-2], carry[-1], carry[4]
+
+
+def delta_segment(static, arr, primal, acc, g, dL, o, d, t_prev, mei_t,
+                  A, em, inside_target, active):
+    """Delta-tracking deposit at the sampled interaction point
+    (reference sensor.py:121-191). Importance-sampled transmittance
+    cancels: contribution = A * (sa/st) * em."""
+    st = arr["sigma_t"]
+    sa_over_st = 1.0 - arr["albedo"]
+    bmin, bmax = arr["bbox_min"], arr["bbox_max"]
+    X, Y, Z = static.sensor.res
+    vs = (bmax - bmin) / jnp.asarray([X, Y, Z], jnp.float32)
+    inv_vs = 1.0 / vs
+
+    act = active & jnp.isfinite(mei_t)
+    p = o + mei_t[..., None] * d
+    flat, in_grid = _voxel_flat(static, p, bmin, inv_vs, inside_target)
+    if static.has_scattering:
+        hist = A
+    else:
+        hist = A * jnp.exp(-st * t_prev)
+    contrib = hist * sa_over_st * (em if primal else 1.0)
+    return _deposit(primal, acc, g, dL, flat, contrib, act & in_grid)
+
+
+# --------------------------------------------------------------------------
+# the bounce loop
+
+
+def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
+                    dL_flat=None, acc=None, n_valid=None):
+    """Trace one wavefront chunk.
+
+    Returns (acc, g, L_radon):
+      primal 'volume':  acc = flat dose accumulator (updated)
+      adjoint 'volume': g = per-lane emitter gradient (excludes em)
+      'radon':          L_radon = per-lane accumulated in-target absorption
+
+    n_valid: lanes with id >= n_valid are padding and stay inactive.
+    """
+    primal = dL_flat is None
+    n = lane.shape[0]
+    sampler = Sampler(seed)
+    ctr = sampler.init(n)
+
+    parr = arr
+    o, d, aidx, ctr = sample_rays(
+        static.projector, parr, arr["active_pixels"], lane, spp, sampler,
+        ctr, static.regular_sampling, static.sample_time, static.clockwise)
+
+    w_scalar = ray_weight(static.projector, parr, spp, arr["print_time"])
+    em = arr["active_data"][aidx] * w_scalar
+
+    bsdf_kind = _static_i32([s.bsdf for s in static.surfaces])
+    med_side = _static_i32([s.medium_side for s in static.surfaces])
+    is_target = jnp.asarray([s.is_target for s in static.surfaces],
+                            jnp.bool_)
+
+    st = arr["sigma_t"]
+    radon = static.mode == "radon"
+
+    if acc is None:
+        acc = jnp.zeros((static.sensor.n_cells,), jnp.float32)
+    g = jnp.zeros((n,), jnp.float32)
+    L_rad = jnp.zeros((n,), jnp.float32)
+
+    active0 = jnp.ones((n,), jnp.bool_) if n_valid is None \
+        else (lane < jnp.uint32(n_valid))
+
+    state = dict(
+        o=o, d=d, A=jnp.where(active0, 1.0, 0.0),
+        total_t=jnp.zeros((n,), jnp.float32),
+        n_scat=jnp.zeros((n,), jnp.float32),
+        inside_target=jnp.zeros((n,), jnp.bool_),
+        in_medium=jnp.zeros((n,), jnp.bool_),
+        depth=jnp.zeros((n,), jnp.int32),
+        active=active0,
+        ctr=ctr, acc=acc, g=g, L=L_rad, it=jnp.int32(0),
+    )
+
+    max_iters = 2 * static.max_depth + 16
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["it"] < max_iters)
+
+    def body(s):
+        o, d, A = s["o"], s["d"], s["A"]
+        active, in_medium = s["active"], s["in_medium"]
+        inside_target, depth = s["inside_target"], s["depth"]
+        total_t, n_scat, ctr = s["total_t"], s["n_scat"], s["ctr"]
+        acc, g, L = s["acc"], s["g"], s["L"]
+
+        # Russian roulette (volume.py:181-184). The reference computes the
+        # survival probability from `attenuation` which there includes the
+        # analytic transmittance; reproduce that value.
+        if static.has_scattering:
+            rr_A = A
+        else:
+            rr_A = A * jnp.exp(-st * total_t)
+        q = jnp.minimum(0.99, rr_A)
+        perform_rr = depth > static.rr_depth
+        u_rr, ctr = sampler.next_1d(lane, ctr)
+        active = active & ((u_rr < q) | ~perform_rr)
+        A = jnp.where(perform_rr & active, A / jnp.maximum(q, 1e-12), A)
+        active = active & (A != 0.0)
+        in_medium = in_medium & active
+
+        # next surface
+        t_si, n_si, sid, si_valid = intersect_scene(static, arr, o, d,
+                                                    active)
+        active = active & si_valid
+        in_medium = in_medium & active
+        hit_target = active & is_target[jnp.clip(sid, 0, None)] & (sid >= 0)
+
+        # medium interaction sampling
+        u_ff, ctr = sampler.next_1d(lane, ctr)
+        if static.has_scattering and not radon:
+            mei_t = sample_free_flight(u_ff, st)
+            reached_surface = in_medium & (t_si < mei_t)
+            mei_t = jnp.where(reached_surface, INF, mei_t)
+            w_med = jnp.where(reached_surface, 1.0, 1.0 / st)
+        else:
+            mei_t = jnp.full((n,), INF)
+            reached_surface = in_medium
+            w_med = jnp.ones((n,), jnp.float32)
+        medium_event = in_medium & ~reached_surface
+
+        # ---- dose deposit along this segment -----------------------------
+        dep_active = (medium_event | reached_surface) & active
+        if radon:
+            # reference radon.py:75-77: accumulate the in-target absorption
+            # with t summed over *all* path segments (incl. air/glass).
+            contrib = A * jnp.exp(-st * total_t) * \
+                (1.0 - jnp.exp(-st * t_si))
+            L = L + jnp.where(inside_target & in_medium & active,
+                              contrib, 0.0)
+        elif static.sensor.estimator == "dda":
+            acc, g = dda_segment(static, arr, primal, acc, g, dL_flat,
+                                 o, d, total_t, t_si, A, em,
+                                 inside_target, dep_active)
+        elif static.sensor.estimator == "ratio":
+            acc, g, ctr = ratio_segment(static, arr, primal, acc, g,
+                                        dL_flat, o, d, total_t, t_si, A,
+                                        em, inside_target, dep_active,
+                                        sampler, lane, ctr)
+        else:  # delta
+            acc, g = delta_segment(static, arr, primal, acc, g, dL_flat,
+                                   o, d, total_t, mei_t, A, em,
+                                   inside_target, dep_active)
+
+        # inside/outside parity flip (volume.py:219 — may leak)
+        inside_target = (~inside_target & hit_target) | \
+            (inside_target & ~hit_target)
+
+        # ---- BSDF sampling at surfaces ------------------------------------
+        active_surface = active & ~medium_event
+        kind = bsdf_kind[jnp.clip(sid, 0, None)]
+        eta = arr["surf_eta"][jnp.clip(sid, 0, None)]
+        d_t, d_r, F, tir, eta_rel = refract(d, n_si, eta)
+        inv_eta2 = 1.0 / (eta_rel * eta_rel)
+        u_b, ctr = sampler.next_1d(lane, ctr)
+        if static.transmission_only:
+            w_diel = jnp.where(tir, 0.0, (1.0 - F) * inv_eta2)
+            d_diel = d_t
+        else:
+            force_tr = depth == 0
+            reflectp = (~force_tr) & (u_b < F)
+            d_diel = jnp.where(reflectp[..., None], d_r, d_t)
+            w_diel = jnp.where(reflectp, 1.0, inv_eta2)
+            w_forced = jnp.where(tir, 0.0, (1.0 - F) * inv_eta2)
+            w_diel = jnp.where(force_tr, w_forced, w_diel)
+
+        is_diel = kind == DIELECTRIC
+        is_null = kind == NULL
+        w_bsdf = jnp.where(is_diel, w_diel,
+                           jnp.where(is_null, 1.0, 0.0))
+        d_new = jnp.where(is_diel[..., None], d_diel, d)
+
+        # ---- phase sampling at medium events ------------------------------
+        u_ph, ctr = sampler.next_2d(lane, ctr)
+        if static.has_scattering and not radon:
+            d_scat = sample_phase_direction(
+                static.phase, arr["phase_g"], d, u_ph[..., 0], u_ph[..., 1])
+            # attenuation at medium events: w_med (=1/st) * sigma_s
+            w_event = w_med * (st * arr["albedo"])
+            n_scat = jnp.where(medium_event, n_scat + 1.0, n_scat)
+        else:
+            d_scat = d
+            w_event = jnp.ones((n,), jnp.float32)
+
+        # position / direction update
+        seg_t = jnp.where(medium_event, mei_t, t_si)
+        p_new = o + seg_t[..., None] * d
+        o = jnp.where(active[..., None], p_new, o)
+        d = jnp.where(medium_event[..., None], d_scat,
+                      jnp.where(active_surface[..., None], d_new, d))
+
+        # attenuation update
+        w = jnp.where(medium_event, w_event,
+                      jnp.where(active_surface, w_bsdf, 1.0))
+        A = jnp.where(active, A * w, A)
+
+        # path length bookkeeping: medium segments only for the volume
+        # integrator (volume.py:265); *all* segments for radon, which sums
+        # t over air/glass too (radon.py:78)
+        if radon:
+            total_t = jnp.where(active, total_t + t_si, total_t)
+        else:
+            total_t = jnp.where((medium_event | reached_surface) & active,
+                                total_t + seg_t, total_t)
+
+        # medium transition (volume.py:268): does the new direction enter
+        # the printing medium?
+        ms = med_side[jnp.clip(sid, 0, None)]
+        dn = jnp.sum(d * n_si, -1)
+        enters = ((ms == 1) & (dn < 0.0)) | ((ms == 2) & (dn > 0.0))
+        in_medium = (in_medium & ~reached_surface) | \
+            (active_surface & (hit_target | enters))
+
+        active = active & (active_surface | in_medium) & (A != 0.0)
+        depth = jnp.where(active & ~hit_target, depth + 1, depth)
+        active = active & (depth < static.max_depth)
+
+        return dict(o=o, d=d, A=A, total_t=total_t, n_scat=n_scat,
+                    inside_target=inside_target, in_medium=in_medium,
+                    depth=depth, active=active, ctr=ctr, acc=acc, g=g,
+                    L=L, it=s["it"] + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["acc"], state["g"], state["L"]

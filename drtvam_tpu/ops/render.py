@@ -1,0 +1,219 @@
+"""Public render entry points: chunked forward dose + custom_vjp adjoint.
+
+This is the TPU-native replacement for `mi.render` dispatching to the
+reference's VolumeIntegrator.render / render_backward
+(integrators/volume.py:18-134) and the Dr.Jit AD tape:
+
+  * `render_raw(static, arr, active_data, seed, spp, spp_grad, chunk)`
+    returns the *unnormalized* dose accumulator (flat, n_cells) — the
+    raw scatter-add target, exactly linear in `active_data`. The dose
+    volume the user sees is `raw.reshape(Z,Y,X,C) * inv_vol`
+    (volume.py:41-56); that multiply lives outside the custom_vjp so
+    the chain rule delivers δL = upstream * inv_vol to the adjoint
+    (volume.py:130).
+  * The VJP re-traces the same paths with the same seed (volume.py:116)
+    in Backward mode: each dose deposit *gathers* the loss-gradient
+    volume instead of scattering (sensor.py:180-186), per-lane emitter
+    gradients are segment-summed into per-active-pixel pattern
+    gradients (volume.py:274-276). The backward wavefront uses
+    `spp_grad` samples (optimize.py:294 `spp_grad=`), an independent
+    unbiased gradient estimate.
+  * Wavefronts larger than `chunk` lanes are processed in multiple
+    passes accumulating into the same dose grid — the reference instead
+    hard-errors at 2^32 lanes (common.py:60-65).
+
+Also here: the forward-only Radon and corner filter renders used for
+DMD pixel culling (integrators/radon.py, integrators/filter_corner.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .march import MarchStatic, trace_wavefront, intersect_scene
+from ..core.rng import Sampler
+from ..models.projector import sample_rays, ray_weight
+
+# Default lanes per pass: sized so the live wavefront state (~30 f32s
+# per lane) stays well under HBM alongside the dose grid.
+DEFAULT_CHUNK_TPU = 1 << 20
+DEFAULT_CHUNK_CPU = 1 << 16
+
+
+def default_chunk():
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return DEFAULT_CHUNK_CPU if platform == "cpu" else DEFAULT_CHUNK_TPU
+
+
+def _chunking(n_lanes, chunk):
+    chunk = max(1, min(chunk, n_lanes))
+    return chunk, -(-n_lanes // chunk)
+
+
+def _forward(static: MarchStatic, arr, active_data, seed, spp, chunk):
+    n_lanes = static.projector.n_active * spp
+    chunk, n_chunks = _chunking(n_lanes, chunk)
+    arr2 = dict(arr)
+    arr2["active_data"] = active_data
+    acc0 = jnp.zeros((static.sensor.n_cells,), jnp.float32)
+    lane_base = jnp.arange(chunk, dtype=jnp.uint32)
+
+    def body(i, acc):
+        lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
+        acc, _, _ = trace_wavefront(static, arr2, lane, seed, spp,
+                                    acc=acc, n_valid=n_lanes)
+        return acc
+
+    if n_chunks == 1:
+        return body(0, acc0)
+    return jax.lax.fori_loop(0, n_chunks, body, acc0)
+
+
+def _adjoint(static: MarchStatic, arr, seed, spp, chunk, dL_flat):
+    n_active = static.projector.n_active
+    n_lanes = n_active * spp
+    chunk, n_chunks = _chunking(n_lanes, chunk)
+    arr2 = dict(arr)
+    # em never contributes to adjoint deposits (march.py uses 1 in place
+    # of em when primal=False) — zeros keep the trace identical.
+    arr2["active_data"] = jnp.zeros((n_active,), jnp.float32)
+    lane_base = jnp.arange(chunk, dtype=jnp.uint32)
+    pg0 = jnp.zeros((n_active,), jnp.float32)
+
+    def body(i, pg):
+        lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
+        _, g, _ = trace_wavefront(static, arr2, lane, seed, spp,
+                                  dL_flat=dL_flat, n_valid=n_lanes)
+        aidx = jnp.minimum(lane // jnp.uint32(spp),
+                           jnp.uint32(n_active - 1)).astype(jnp.int32)
+        return pg.at[aidx].add(g)
+
+    pg = body(0, pg0) if n_chunks == 1 else \
+        jax.lax.fori_loop(0, n_chunks, body, pg0)
+    w = ray_weight(static.projector, arr, spp, arr["print_time"])
+    return pg * w
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
+def render_raw(static: MarchStatic, arr, active_data, seed, spp,
+               spp_grad, chunk):
+    """Flat unnormalized dose accumulator (n_cells,), linear in
+    active_data. seed must be a jnp uint32 scalar (traced — changing the
+    per-iteration seed does not retrigger compilation)."""
+    return _forward(static, arr, active_data, seed, spp, chunk)
+
+
+def _render_raw_fwd(static, arr, active_data, seed, spp, spp_grad, chunk):
+    acc = _forward(static, arr, active_data, seed, spp, chunk)
+    return acc, (arr, seed)
+
+
+def _zero_ct(x):
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _render_raw_bwd(static, spp, spp_grad, chunk, res, ct):
+    arr, seed = res
+    pg = _adjoint(static, arr, seed, spp_grad, chunk, ct)
+    arr_ct = {k: _zero_ct(v) for k, v in arr.items()}
+    seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return (arr_ct, pg, seed_ct)
+
+
+render_raw.defvjp(_render_raw_fwd, _render_raw_bwd)
+
+
+def render(static: MarchStatic, arr, active_data, inv_vol, seed=0, spp=1,
+           spp_grad=None, chunk=None):
+    """Dose volume (Z, Y, X, C): raw accumulator x 1/voxel-volume
+    (volume.py:41-56). Differentiable w.r.t. active_data through the
+    custom adjoint."""
+    if spp_grad is None:
+        spp_grad = spp
+    if chunk is None:
+        chunk = default_chunk()
+    seed = jnp.asarray(seed, jnp.uint32)
+    raw = render_raw(static, arr, active_data, seed, spp, spp_grad, chunk)
+    return raw.reshape(static.sensor.shape) * inv_vol
+
+
+def render_radon(static: MarchStatic, arr, seed=0, spp=4, chunk=None):
+    """Forward-only Radon render: per-DMD-pixel accumulated in-target
+    absorption, scattered to the dense (n_patterns*resy*resx,) image
+    array (integrators/radon.py:41-44). Used for `filter_radon` culling."""
+    assert static.mode == "radon"
+    if chunk is None:
+        chunk = default_chunk()
+    seed = jnp.asarray(seed, jnp.uint32)
+    p = static.projector
+    n_lanes = p.n_active * spp
+    chunk, n_chunks = _chunking(n_lanes, chunk)
+    arr2 = dict(arr)
+    arr2["active_data"] = jnp.zeros((p.n_active,), jnp.float32)
+    w = ray_weight(p, arr, spp, arr["print_time"])
+    n_dense = p.n_patterns * p.resy * p.resx
+    lane_base = jnp.arange(chunk, dtype=jnp.uint32)
+    img0 = jnp.zeros((n_dense,), jnp.float32)
+
+    def body(i, img):
+        lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
+        _, _, L = trace_wavefront(static, arr2, lane, seed, spp,
+                                  n_valid=n_lanes)
+        aidx = jnp.minimum(lane // jnp.uint32(spp),
+                           jnp.uint32(p.n_active - 1)).astype(jnp.int32)
+        pix = arr["active_pixels"][aidx]
+        return img.at[pix].add(L * w)
+
+    if n_chunks == 1:
+        return body(0, img0)
+    return jax.lax.fori_loop(0, n_chunks, body, img0)
+
+
+def render_corner(static: MarchStatic, arr, dist, radius=0.1, seed=0,
+                  chunk=None):
+    """Corner-filter render (integrators/filter_corner.py): one bounce,
+    a pixel survives unless its first hit lies within `radius` of a
+    square-vial corner at distance `dist` from the axis. Returns the
+    dense per-pixel keep image (>0 = keep). Uses regular sampling and
+    spp=1 like the reference config (optimize.py:166-171)."""
+    if chunk is None:
+        chunk = default_chunk()
+    seed = jnp.asarray(seed, jnp.uint32)
+    p = static.projector
+    spp = 1
+    n_lanes = p.n_active
+    chunk, n_chunks = _chunking(n_lanes, chunk)
+    sampler = Sampler(seed)
+    w = ray_weight(p, arr, spp, arr["print_time"])
+    n_dense = p.n_patterns * p.resy * p.resx
+    lane_base = jnp.arange(chunk, dtype=jnp.uint32)
+    img0 = jnp.zeros((n_dense,), jnp.float32)
+
+    def body(i, img):
+        lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
+        ctr = sampler.init(lane.shape[0])
+        o, d, aidx, ctr = sample_rays(
+            p, arr, arr["active_pixels"], lane, spp, sampler, ctr,
+            True, False, static.clockwise)
+        valid = lane < jnp.uint32(n_lanes)
+        t, n, sid, hit = intersect_scene(static, arr, o, d, valid)
+        pos = o + t[..., None] * d
+        corner_d = jnp.linalg.norm(jnp.abs(pos[..., :2]) - dist, axis=-1)
+        keep = hit & (corner_d >= radius)
+        val = jnp.where(keep & valid, 1.0, 0.0) * w
+        pix = arr["active_pixels"][jnp.minimum(
+            aidx, p.n_active - 1)]
+        return img.at[pix].add(val)
+
+    if n_chunks == 1:
+        return body(0, img0)
+    return jax.lax.fori_loop(0, n_chunks, body, img0)

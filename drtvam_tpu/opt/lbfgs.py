@@ -1,0 +1,137 @@
+"""L-BFGS pattern optimizers (reference: src/drtvam/lbfgs.py).
+
+Two variants over a single flat parameter vector (the reference only
+ever optimizes `projector.active_data`):
+
+  * `LBFGS` — classic two-loop recursion + backtracking line search
+    re-evaluating `line_search_fn` (Armijo, optionally full Wolfe)
+    (lbfgs.py:5-143).
+  * `LinearLBFGS` — exploits that the dose is exactly LINEAR in the
+    patterns: one extra render of the *search direction* gives
+    dvol = render(dir), and the line search only re-evaluates the loss
+    on `vol + alpha * dvol` — no re-renders (lbfgs.py:146-275,
+    docs plugin_reference/optimizer.rst:80-94). Armijo with c1 = 1e-4,
+    alpha halving, `search_it` trials.
+
+Reference quirk preserved: during the LinearLBFGS line search the loss's
+pattern-sparsity term is evaluated on the SEARCH DIRECTION, not on the
+candidate patterns (lbfgs.py:239-246,260 passes `params[...]`, which
+holds the direction). History state lives on device; the line-search
+control flow syncs one scalar per trial.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class _LBFGSHistory:
+    """Shared two-loop recursion state (lbfgs.py:33-94,213-234)."""
+
+    def __init__(self, m=5):
+        self.m = m
+        self.s = []
+        self.y = []
+        self.ys = []
+        self.t = 0
+        self.p_old = None
+        self.g_old = None
+
+    def update_history(self, p, g):
+        if self.t > self.m:
+            self.s.pop(0)
+            self.y.pop(0)
+            self.ys.pop(0)
+        p = jnp.ravel(p)
+        g = jnp.ravel(g)
+        if self.t > 0:
+            self.s.append(p - self.p_old)
+            self.y.append(g - self.g_old)
+            self.ys.append(jnp.dot(self.y[-1], self.s[-1]))
+        self.p_old = p
+        self.g_old = g
+        self.t += 1
+
+    def search_direction(self, g):
+        q = jnp.ravel(g)
+        alphas = []
+        for i in range(len(self.s) - 1, -1, -1):
+            a = jnp.dot(self.s[i], q) / self.ys[i]
+            q = q - a * self.y[i]
+            alphas.insert(0, a)
+        gamma = 1.0 if self.t == 1 else \
+            self.ys[-1] / jnp.dot(self.y[-1], self.y[-1])
+        z = gamma * q
+        for i in range(len(self.s)):
+            b = jnp.dot(self.y[i], z) / self.ys[i]
+            z = z + (alphas[i] - b) * self.s[i]
+        return -z
+
+
+class LBFGS(_LBFGSHistory):
+    """General L-BFGS with backtracking line search (lbfgs.py:5-143).
+
+    `line_search_fn(p) -> loss` is re-evaluated per trial; with
+    `wolfe=True` its gradient too (via jax.grad, supplied by caller as
+    `line_search_grad_fn`)."""
+
+    def __init__(self, line_search_fn, m=5, wolfe=False, search_it=20,
+                 line_search_grad_fn=None):
+        super().__init__(m)
+        self.line_search_fn = line_search_fn
+        self.line_search_grad_fn = line_search_grad_fn
+        self.wolfe = wolfe
+        self.search_it = search_it
+
+    def step(self, p, g, f):
+        self.update_history(p, g)
+        z = self.search_direction(g)
+        c1, c2 = 1e-4, 0.9
+        g_dot_z = float(jnp.dot(self.g_old, z))
+        alpha = 1.0
+        for _ in range(self.search_it):
+            cand = p + alpha * z
+            f_new = float(self.line_search_fn(cand))
+            armijo = f_new <= float(f) + c1 * alpha * g_dot_z
+            if self.wolfe:
+                g_new = self.line_search_grad_fn(cand)
+                wolfe2 = float(jnp.dot(jnp.ravel(g_new), z)) >= c2 * g_dot_z
+                if armijo and wolfe2:
+                    break
+            elif armijo:
+                break
+            alpha *= 0.5
+        return p + alpha * z
+
+
+class LinearLBFGS(_LBFGSHistory):
+    """Linearity-exploiting L-BFGS (lbfgs.py:146-275).
+
+    render_fn(direction) -> dvol renders the search direction once;
+    loss_fn(vol, patterns) -> scalar evaluates the loss (with the
+    sparsity term on `patterns`)."""
+
+    def __init__(self, render_fn, loss_fn, m=5, search_it=20):
+        super().__init__(m)
+        self.render_fn = render_fn
+        self.loss_fn = loss_fn
+        self.search_it = search_it
+        self.last_alpha = None
+
+    def step(self, p, g, vol, loss):
+        """One optimizer step; returns the updated parameter vector."""
+        self.update_history(p, g)
+        z = self.search_direction(g)
+
+        dvol = self.render_fn(z)  # ONE extra render (lbfgs.py:248)
+        g_dot_z = float(jnp.dot(self.g_old, z))
+        c1 = 1e-4
+        alpha = 1.0
+        loss = float(loss)
+        for _ in range(self.search_it):
+            vol_new = vol + alpha * dvol
+            f_new = float(self.loss_fn(vol_new, z))
+            if f_new <= loss + c1 * alpha * g_dot_z:
+                break
+            alpha *= 0.5
+        self.last_alpha = alpha
+        return p + alpha * z

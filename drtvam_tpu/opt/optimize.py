@@ -1,0 +1,429 @@
+"""Optimization driver + CLI (reference: src/drtvam/optimize.py).
+
+`optimize(config)` mirrors the reference driver end to end: scene
+assembly, target discretization (binary or surface-aware), Radon/corner
+DMD-pixel culling, the render/loss/adjoint/step loop with progressive
+scattering warm-up, pattern clamping, convergence break, the final
+high-quality render, and the full artifact set (final.exr/npy,
+loss/timing.npy, per-pattern EXRs, patterns.npz + normalized uint8,
+histogram.png, pattern efficiency). `main()` is the `drtvam`-style CLI
+with dotted -D overrides, --backend, and --forward_mode/--patterns.
+
+Timing semantics match optimize.py:287-325: per iteration, column 0 is
+the primal render (+loss) wall-clock, column 1 the adjoint + optimizer
+step (including the LinearLBFGS direction render and line search).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time as time_mod
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from tqdm import trange
+
+from ..models.scene import Scene
+from ..ops.render import (render, render_radon, render_corner, _adjoint,
+                          default_chunk)
+from .loss import losses
+from .lbfgs import LinearLBFGS
+from ..utils.io import save_img, save_vol
+from ..utils.metrics import save_histogram
+
+
+def _block(x):
+    return jax.block_until_ready(x)
+
+
+def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
+                   target):
+    """Jitted primal / adjoint / direction-render / line-search closures
+    for one integrator configuration."""
+
+    @jax.jit
+    def primal(data, seed):
+        vol = render(static, arr, data, inv_vol, seed, spp, spp_grad, chunk)
+        loss = loss_obj(vol, target, data)
+        return vol, loss
+
+    @jax.jit
+    def adjoint(vol, data, seed):
+        dvol, dpat = jax.grad(
+            lambda v, p: loss_obj(v, target, p), argnums=(0, 1))(vol, data)
+        # δL into the raw accumulator = upstream * inv_vol (volume.py:130)
+        dL_flat = (dvol * inv_vol).reshape(-1)
+        pg = _adjoint(static, arr, seed, spp_grad, chunk, dL_flat)
+        return pg + dpat
+
+    @jax.jit
+    def dir_render(data, seed):
+        return render(static, arr, data, inv_vol, seed, spp, spp_grad, chunk)
+
+    @jax.jit
+    def ls_loss(vol, pats):
+        return loss_obj(vol, target, pats)
+
+    return primal, adjoint, dir_render, ls_loss
+
+
+def optimize(config, patterns_fwd=None, resolve_path=None):
+    """Optimize projector patterns for the configured TVAM scene.
+
+    Args:
+        config: configuration dict (same JSON schema as the reference,
+            docs/src/basic_usage.rst).
+        patterns_fwd: if given, skip optimization and just forward-
+            project these patterns (reference --forward_mode).
+        resolve_path: optional relative-path resolver.
+    Returns the final dose volume as a numpy (Z, Y, X, 1) array.
+    """
+    config = dict(config)
+    if resolve_path is None:
+        resolve_path = lambda p: p
+    scene = Scene(config, resolve_path)
+    output = config["output"]
+    os.makedirs(os.path.join(output, "patterns"), exist_ok=True)
+
+    # Rendering parameters (optimize.py:94-106)
+    spp = config.get("spp", 4)
+    spp_ref = config.get("spp_ref", 16)
+    spp_grad = config.get("spp_grad", spp)
+    max_depth = config.get("max_depth", 6)
+    rr_depth = config.get("rr_depth", 6)
+    print_time = config.get("time", 1.0)
+    progressive = config.get("progressive", False)
+    transmission_only = config.get("transmission_only", True)
+    regular_sampling = config.get("regular_sampling", False)
+    chunk = config.get("chunk_size", default_chunk())
+    if regular_sampling:
+        spp = 1  # shooting from pixel centers (common.py:52-55)
+
+    sensor = scene.sensor
+    final_sensor = scene.final_sensor
+    surface_aware = sensor.surface_aware
+
+    if sensor.static.estimator == "delta" and scene.medium.albedo == 0.0:
+        raise ValueError(
+            "Tried to render a purely absorptive volume with a delta "
+            "tracking sensor. This is not supported.")
+
+    # Reference target volume (optimize.py:131-140)
+    tb = scene.target_bank()
+    if surface_aware:
+        target = np.asarray(sensor.compute_volume(tb))
+        save_vol(target[..., 0, None], os.path.join(output, "target_in.exr"))
+        save_vol(target[..., 1, None], os.path.join(output, "target_out.exr"))
+    else:
+        target = np.asarray(sensor.discretize(tb))
+        save_vol(target, os.path.join(output, "target.exr"))
+    np.save(os.path.join(output, "target.npy"), target)
+    target = jnp.asarray(target)
+
+    # ---- DMD pixel culling (optimize.py:143-185) -------------------------
+    if config.get("filter_radon", False) and patterns_fwd is None:
+        static_r, arr_r = scene.build(
+            mode="radon", include_target=True, max_depth=5,
+            rr_depth=rr_depth, print_time=1.0,
+            transmission_only=transmission_only,
+            regular_sampling=regular_sampling)
+        img = np.asarray(_block(render_radon(
+            static_r, arr_r, seed=0, spp=config.get("spp_filter_radon", 4),
+            chunk=chunk)))
+        active = np.nonzero(img > 0.0)[0].astype(np.int32)
+        if active.size == 0:
+            raise ValueError("No active pixels found in the Radon transform.")
+        scene.projector.set_active(active, np.zeros(active.size, np.float32))
+
+    if "filter_corner" in config and patterns_fwd is None:
+        ccfg = config["filter_corner"]
+        static_c, arr_c = scene.build(
+            mode="volume", include_target=True, max_depth=1,
+            rr_depth=rr_depth, print_time=1.0,
+            transmission_only=transmission_only, regular_sampling=True)
+        img = np.asarray(_block(render_corner(
+            static_c, arr_c, dist=ccfg["dist"],
+            radius=ccfg.get("radius", 0.1), seed=0, chunk=chunk)))
+        active = np.nonzero(img > 0.0)[0].astype(np.int32)
+        if active.size == 0:
+            raise ValueError("No active pixels found in the Radon transform.")
+        scene.projector.set_active(active, np.zeros(active.size, np.float32))
+
+    # ---- loss / optimizer selection (optimize.py:193-222) ----------------
+    if "loss" not in config:
+        print("No loss function specified. Using thresholded loss.")
+        config["loss"] = {"type": "threshold"}
+    loss_cfg = dict(config["loss"])
+    loss_type = loss_cfg.pop("type")
+    if loss_type not in losses:
+        raise ValueError(f"Unknown loss type: '{loss_type}'. Available "
+                         f"losses are: {list(losses.keys())}")
+    loss_obj = losses[loss_type](loss_cfg)
+
+    if "optimizer" not in config:
+        print("No optimizer specified. Using linear L-BFGS.")
+        config["optimizer"] = {"type": "lbfgs"}
+    opt_cfg = dict(config["optimizer"])
+    optim_type = opt_cfg.pop("type")
+
+    n_steps = config.get("n_steps", 40)
+    loss_hist = np.zeros(n_steps)
+    timing_hist = np.zeros((n_steps, 2))
+
+    # final integrator config (optimize.py:231-238)
+    max_depth_ref = config.get("max_depth_ref", 16)
+    rr_depth_ref = config.get("rr_depth_ref", 8)
+
+    def final_render(data):
+        static_f, arr_f = scene.build(
+            mode="volume", include_target=surface_aware,
+            max_depth=max_depth_ref, rr_depth=rr_depth_ref,
+            print_time=print_time, transmission_only=transmission_only,
+            regular_sampling=regular_sampling, sensor=final_sensor)
+        inv_vol_f = jnp.float32(1.0 / final_sensor.voxel_volume)
+        return np.asarray(_block(render(
+            static_f, arr_f, data, inv_vol_f, seed=0, spp=spp_ref,
+            chunk=chunk)))
+
+    def dump_patterns(data):
+        imgs = np.asarray(scene.projector.patterns(data))
+        print("Saving images...")
+        for i in trange(imgs.shape[0]):
+            save_img(imgs[i], os.path.join(output, "patterns",
+                                           f"{i:04d}.exr"))
+        np.savez_compressed(os.path.join(output, "patterns.npz"),
+                            patterns=imgs)
+        return imgs
+
+    # ---- forward-only / PSF modes (optimize.py:240-284) ------------------
+    if patterns_fwd is not None:
+        print("Using provided patterns for forward mode.")
+        data = jnp.asarray(np.asarray(patterns_fwd, np.float32).ravel())
+        scene.projector.active_data = data
+    elif "psf_analysis" in config:
+        print("\nPSF analysis enabled.")
+        print("Exporting ray tracing...")
+        entries = config["psf_analysis"]
+        print("Number of traced pixels:", len(entries))
+        xres = config["projector"]["resx"]
+        yres = config["projector"]["resy"]
+        pix = np.zeros(len(entries), np.int32)
+        val = np.ones(len(entries), np.float32)
+        for i, e in enumerate(entries):
+            assert e["x"] < xres, ("Invalid entry in psf_analysis: x out of "
+                                   "bounds. Please check the configuration "
+                                   "file.")
+            assert e["y"] < yres, ("Invalid entry in psf_analysis: y out of "
+                                   "bounds. Please check the configuration "
+                                   "file.")
+            assert e["index_pattern"] < config["projector"]["n_patterns"], (
+                "Invalid entry in psf_analysis: index_pattern out of bounds. "
+                "Please check the configuration file.")
+            pix[i] = xres * yres * e["index_pattern"] + xres * e["y"] + e["x"]
+            val[i] = e["intensity"]
+        scene.projector.set_active(pix, val)
+        data = scene.projector.active_data
+
+        print("Rendering final state...")
+        vol_final = final_render(data)
+        np.save(os.path.join(output, "final.npy"), vol_final)
+        save_vol(vol_final, os.path.join(output, "final.exr"))
+        np.save(os.path.join(output, "loss.npy"), loss_hist)
+        np.save(os.path.join(output, "timing.npy"), timing_hist)
+        dump_patterns(data)
+        return vol_final
+    else:
+        # ---- the optimization loop (optimize.py:287-325) -----------------
+        print("Optimizing patterns...")
+        data = scene.projector.active_data
+
+        def build_fns(depth):
+            static, arr = scene.build(
+                mode="volume", include_target=surface_aware,
+                max_depth=depth, rr_depth=rr_depth, print_time=print_time,
+                transmission_only=transmission_only,
+                regular_sampling=regular_sampling)
+            inv_vol = sensor.inv_volume(tb if surface_aware else None)
+            return _make_step_fns(static, arr, inv_vol, spp, spp_grad,
+                                  chunk, loss_obj, target)
+
+        primal, adjoint, dir_render, ls_loss = build_fns(
+            3 if progressive else max_depth)
+
+        seed_holder = {"v": 0}
+        opt = None
+        opt_state = None
+        if optim_type == "lbfgs":
+            opt = LinearLBFGS(
+                render_fn=lambda z: _block(dir_render(
+                    z, jnp.uint32(seed_holder["v"]))),
+                loss_fn=lambda v, p: ls_loss(v, p),
+                **opt_cfg)
+        elif optim_type in ("adam", "sgd"):
+            import optax
+            lr = opt_cfg.pop("lr", 0.01 if optim_type == "adam" else 0.1)
+            if optim_type == "adam":
+                tx = optax.adam(lr, **opt_cfg)
+            else:
+                tx = optax.sgd(lr, **opt_cfg)
+            opt_state = tx.init(data)
+        else:
+            raise ValueError(f"Unknown optimizer type: '{optim_type}'")
+
+        for i in trange(n_steps):
+            if progressive and i == 5:
+                primal, adjoint, dir_render, ls_loss = build_fns(max_depth)
+            seed_holder["v"] = i
+            seed = jnp.uint32(i)
+
+            t0 = time_mod.perf_counter()
+            vol, loss = _block(primal(data, seed))
+            timing_hist[i, 0] = time_mod.perf_counter() - t0
+            loss_hist[i] = float(loss)
+
+            t1 = time_mod.perf_counter()
+            grad = _block(adjoint(vol, data, seed))
+
+            if float(loss) == 0.0:
+                print("Converged")
+                timing_hist[i, 1] = time_mod.perf_counter() - t1
+                break
+
+            if optim_type == "lbfgs":
+                data = opt.step(data, grad, vol, loss)
+            else:
+                updates, opt_state = tx.update(grad, opt_state, data)
+                import optax
+                data = optax.apply_updates(data, updates)
+
+            # Clamp patterns >= 0 (optimize.py:320)
+            data = _block(jnp.maximum(data, 0.0))
+            timing_hist[i, 1] = time_mod.perf_counter() - t1
+
+        scene.projector.active_data = data
+
+    # ---- final render + artifacts (optimize.py:327-366) ------------------
+    print("Rendering final state...")
+    vol_final = final_render(data)
+    np.save(os.path.join(output, "final.npy"), vol_final)
+    save_vol(vol_final, os.path.join(output, "final.exr"))
+    np.save(os.path.join(output, "loss.npy"), loss_hist)
+    np.save(os.path.join(output, "timing.npy"), timing_hist)
+
+    imgs = dump_patterns(data)
+    array_max = float(np.max(imgs)) if imgs.size else 1.0
+    array_max = array_max if array_max > 0 else 1.0
+    normalized = imgs / array_max
+    np.savez_compressed(
+        os.path.join(output, "patterns_normalized_uint8.npz"),
+        patterns=(normalized * 255).astype(np.uint8))
+
+    if surface_aware:
+        target_binary = np.asarray(final_sensor.discretize(tb))
+        np.save(os.path.join(output, "target_binary.npy"), target_binary)
+        save_vol(target_binary, os.path.join(output, "target_binary.exr"))
+        hist_target = target_binary
+    else:
+        hist_target = np.asarray(target)
+
+    efficiency = float(np.sum(normalized / normalized.size))
+    print("Pattern efficiency {:.4f}".format(efficiency))
+    save_histogram(vol_final, hist_target,
+                   os.path.join(output, "histogram.png"),
+                   efficiency, array_max)
+    return vol_final
+
+
+# --------------------------------------------------------------------------
+# CLI (optimize.py:373-445)
+
+
+class OverrideAction(argparse.Action):
+    def __init__(self, option_strings, dest, nargs=None, **kwargs):
+        super().__init__(option_strings, dest, **kwargs)
+        self.overrides = {}
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        try:
+            key, value = values.split("=")
+        except ValueError:
+            raise ValueError("Invalid parameter override. Use the format "
+                             "'-D key=value'")
+        try:
+            value = int(value)
+        except ValueError:
+            try:
+                value = float(value)
+            except ValueError:
+                pass
+        self.overrides[key] = value
+        setattr(namespace, self.dest, self.overrides)
+
+
+def make_resolver(base_dir):
+    def resolve(p):
+        if os.path.isabs(p) or os.path.exists(p):
+            return p
+        cand = os.path.join(base_dir, p)
+        return cand if os.path.exists(cand) else p
+    return resolve
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("Optimize patterns for TVAM.")
+    parser.add_argument("config", type=str,
+                        help="Path to the configuration file")
+    parser.add_argument("-D", dest="overrides", metavar="key=value",
+                        action=OverrideAction,
+                        help="Override/Add a parameter in the configuration "
+                        "dictionary. Nested keys are separated by dots.")
+    parser.add_argument("--backend", type=str, default=None,
+                        choices=["tpu", "cpu", "gpu"],
+                        help="Select the JAX platform for the optimization.")
+    parser.add_argument("--forward_mode", action="store_true",
+                        help="Just project the patterns without optimization."
+                        " Patterns need to be specified by --patterns (a "
+                        ".npz file).")
+    parser.add_argument("--patterns", type=str,
+                        help="Path to the patterns file (a .npz file). This "
+                        "is only used in forward mode.")
+    args = parser.parse_args(argv)
+
+    if args.backend is not None:
+        jax.config.update("jax_platforms", args.backend)
+
+    with open(args.config, "r") as f:
+        config = json.load(f)
+
+    if args.overrides is not None:
+        for key, value in args.overrides.items():
+            key = key.split(".")
+            tmp = config
+            for k in key[:-1]:
+                tmp = tmp[k]
+            tmp[key[-1]] = value
+
+    base_dir = os.path.dirname(os.path.abspath(args.config))
+    if "output" not in config:
+        config["output"] = base_dir
+
+    os.makedirs(os.path.join(config["output"], "patterns"), exist_ok=True)
+    with open(os.path.join(config["output"], "opt_config.json"), "w") as f:
+        json.dump(config, f, indent=4)
+
+    if args.forward_mode:
+        if args.patterns is None:
+            raise ValueError(
+                "In forward mode, you must specify the patterns file.")
+        patterns = np.load(args.patterns)["patterns"]
+        optimize(config, patterns_fwd=patterns,
+                 resolve_path=make_resolver(base_dir))
+    else:
+        optimize(config, resolve_path=make_resolver(base_dir))
+
+
+if __name__ == "__main__":
+    main()

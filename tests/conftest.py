@@ -1,0 +1,31 @@
+"""Test harness: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware (mirrors the reference's llvm_ad_mono CPU variant
+role, test_integrators.py:69)."""
+import os
+
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel); tests must
+# run on the host CPU with 8 virtual devices, so override rather than
+# setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def box_hole_mesh(tmp_path_factory):
+    """Procedural stand-in for the reference's tests/files/box_hole.ply:
+    a box with a cylindrical through-hole."""
+    from drtvam_tpu.ops.mesh import make_box_with_hole, save_ply
+    path = tmp_path_factory.mktemp("meshes") / "box_hole.ply"
+    mesh = make_box_with_hole((2.0, 2.0, 1.0), 0.5, segments=48)
+    save_ply(mesh, str(path))
+    return str(path)
