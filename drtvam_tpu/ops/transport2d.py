@@ -1,0 +1,256 @@
+"""Per-angle 2D transport fields for the ballistic (non-scattering)
+fast path.
+
+TPU-native factorization, not present in the reference: for a
+collimated projector orbiting a z-invariant vial (cylindrical, square,
+index-matched, double-cylindrical — every analytic container), a ray's
+(x, y) trajectory is independent of its z / DMD row. The entire
+volumetric transport therefore factors into
+
+    dose(z, y, x) = sum_a  W_a(y, x) * P_a(z_row, u_map_a(y, x))
+
+where W_a is the per-cell absorbed-dose weight of angle a's 2D ray fan
+(Fresnel products x the reference's exact per-voxel Beer-Lambert DDA
+deposit, sensor.py:306-440) and u_map_a is the (fractional) DMD column
+whose ray feeds that cell. This module precomputes (W, UW) once per
+geometry by tracing A x U 2D rays through the interface stack
+(transmission-only, volume.py:230-247) and rasterizing each medium
+segment with a 2D Amanatides-Woo walk. The per-render work then
+becomes dense matmuls (ops/backproject.py) — no scatters at all.
+
+Where two adjacent DMD columns' rays cross one cell, the stored
+weighted-average column u_map = UW/W makes the downstream linear
+interpolation EXACT (w1*P[u] + w2*P[u+1] is recovered); three or more
+contributors incur a second-difference interpolation error, negligible
+at TVAM pixel/voxel ratios.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .march import MarchStatic, intersect_scene
+from .fresnel import refract
+from ..models.geometry import DIELECTRIC, NULL
+
+INF = jnp.float32(jnp.inf)
+
+
+def ballistic_eligible(static: MarchStatic) -> bool:
+    """The fast path covers the reference's headline benchmarks:
+    collimated projector, pure absorption, analytic (z-invariant)
+    vials, transmission-only BSDFs, dda estimator, 1-channel film."""
+    from ..models.geometry import MESH
+    return (
+        static.mode == "volume"
+        and static.projector.kind == "collimated"
+        and not static.has_scattering
+        and static.sensor.estimator == "dda"
+        and static.sensor.channels == 1
+        and static.transmission_only
+        and all(s.kind != MESH for s in static.surfaces)
+    )
+
+
+def build_transport(static: MarchStatic, arr, supersample: int = 1):
+    """Trace the A x U 2D ray fan and rasterize dose weights.
+
+    Returns (W, UW): float32 (A, Y, X) fields. Scalar factors folded
+    into W: per-cell (sigma_a/sigma_t) * exp(-st*t) * (1-exp(-st*dt))
+    Beer-Lambert absorption and the Fresnel transmission products. The
+    ray-weight scalar (pixel_area * print_time) and 1/voxel_volume are
+    NOT folded — ops/backproject.py applies them to keep render_raw's
+    unnormalized-accumulator contract.
+    """
+    p = static.projector
+    A, U = p.n_patterns, p.resx
+    X, Y, _ = static.sensor.res
+    S = supersample
+    n = A * U * S
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    a_idx = (lane // jnp.uint32(U * S)).astype(jnp.float32)
+    rem = lane % jnp.uint32(U * S)
+    u_idx = (rem // jnp.uint32(S)).astype(jnp.float32)
+    s_idx = (rem % jnp.uint32(S)).astype(jnp.float32)
+
+    alpha = 2.0 * jnp.pi * a_idx / A
+    if static.clockwise:
+        alpha = -alpha
+    dist = arr["motion_distance"]
+    origin = dist * jnp.stack(
+        [jnp.cos(alpha), jnp.sin(alpha), jnp.zeros_like(alpha)], -1)
+    dirw = -origin / dist
+    up = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    left = jnp.cross(jnp.broadcast_to(up, dirw.shape), dirw)
+    left = left / jnp.linalg.norm(left, axis=-1, keepdims=True)
+
+    ex = U * arr["pixel_size"][0]
+    s_u = (u_idx + (s_idx + 0.5) / S) / U         # [0,1) across the row
+    cam_x = (0.5 - s_u) * ex
+    o = origin + cam_x[..., None] * left
+    d = dirw
+
+    bsdf_kind = jnp.asarray([s.bsdf for s in static.surfaces], jnp.int32)
+    med_side = jnp.asarray([s.medium_side for s in static.surfaces],
+                           jnp.int32)
+    st = arr["sigma_t"]
+    sa_over_st = 1.0 - arr["albedo"]
+    bmin2 = arr["bbox_min"][:2]
+    bmax2 = arr["bbox_max"][:2]
+    vs2 = (bmax2 - bmin2) / jnp.asarray([X, Y], jnp.float32)
+    res2 = jnp.asarray([X, Y], jnp.int32)
+
+    Wf = jnp.zeros((A * Y * X,), jnp.float32)
+    UWf = jnp.zeros((A * Y * X,), jnp.float32)
+    a_base = (lane // jnp.uint32(U * S)).astype(jnp.int32) * (Y * X)
+    u_val = u_idx + (s_idx + 0.5) / S - 0.5       # fractional DMD column
+
+    def dda2d(Wf, UWf, o, d, t_base, maxt, amp, active):
+        """2D Amanatides-Woo over the (y, x) sensor cross-section,
+        depositing amp * (sa/st) * exp(-st*(t_base+t)) * (1-exp(-st*dt))
+        and the same times u into the per-angle fields."""
+        o2 = o[..., :2]
+        d2 = d[..., :2]
+        safe = jnp.where(jnp.abs(d2) > 1e-12, d2, 1e-12)
+        t0 = (bmin2 - o2) / safe
+        t1 = (bmax2 - o2) / safe
+        t_in = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0)
+        t_out = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), maxt)
+        act = active & (t_in < t_out) & jnp.isfinite(t_in) & \
+            jnp.isfinite(t_out)
+
+        start = o2 + t_in[..., None] * d2
+        stepd = jnp.where(d2 > 0, 1, -1).astype(jnp.int32)
+        cell = jnp.clip(((start - bmin2) / vs2).astype(jnp.int32),
+                        0, res2 - 1)
+        nxt = bmin2 + (cell + stepd) * vs2 + jnp.where(d2 < 0, vs2, 0.0)
+        valid_dir = jnp.abs(d2) > 1e-9
+        dtm = jnp.where(valid_dir, (nxt - start) / safe, INF)
+        dtm = jnp.where(dtm < 0, INF, dtm)
+        tstep = jnp.where(valid_dir, vs2 / safe * stepd, INF)
+
+        base = amp * sa_over_st
+
+        def cond(c):
+            i, act, *_ = c
+            return jnp.any(act) & (i < X + Y + 2)
+
+        def body(c):
+            i, act, cell, dtm, t, rem, Wf, UWf = c
+            dt = jnp.minimum(jnp.min(dtm, -1), rem)
+            contrib = base * jnp.exp(-st * (t_base + t)) * \
+                (1.0 - jnp.exp(-st * jnp.maximum(dt, 0.0)))
+            flat = a_base + cell[..., 1] * X + cell[..., 0]
+            idx = jnp.where(act, flat, 0)
+            val = jnp.where(act, contrib, 0.0)
+            Wf = Wf.at[idx].add(val)
+            UWf = UWf.at[idx].add(val * u_val)
+            rem = jnp.where(act, rem - dt, rem)
+            act = act & (rem > 1e-7)
+            m = dtm == dt[..., None]
+            dtm = jnp.where(m, tstep, dtm - dt[..., None])
+            cell = jnp.where(act[..., None], cell + jnp.where(m, stepd, 0),
+                             cell)
+            act = act & jnp.all(cell >= 0, -1) & jnp.all(cell < res2, -1)
+            t = jnp.where(act, t + dt, t)
+            return (i + 1, act, cell, dtm, t, rem, Wf, UWf)
+
+        c = (jnp.int32(0), act, cell, dtm, t_in, t_out - t_in, Wf, UWf)
+        c = jax.lax.while_loop(cond, body, c)
+        return c[-2], c[-1]
+
+    state = dict(
+        o=o, d=d, amp=jnp.ones((n,), jnp.float32),
+        t_med=jnp.zeros((n,), jnp.float32),
+        in_medium=jnp.zeros((n,), jnp.bool_),
+        active=jnp.ones((n,), jnp.bool_),
+        Wf=Wf, UWf=UWf, it=jnp.int32(0),
+    )
+    max_iters = 2 * len(static.surfaces) + 2
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["it"] < max_iters)
+
+    def body(s):
+        o, d, amp = s["o"], s["d"], s["amp"]
+        active, in_medium = s["active"], s["in_medium"]
+        t_med, Wf, UWf = s["t_med"], s["Wf"], s["UWf"]
+
+        t_si, n_si, sid, valid = intersect_scene(static, arr, o, d, active)
+        active = active & valid
+        seg_med = in_medium & active
+        Wf, UWf = dda2d(Wf, UWf, o, d, t_med, t_si, amp, seg_med)
+        t_med = jnp.where(seg_med, t_med + t_si, t_med)
+
+        kind = bsdf_kind[jnp.clip(sid, 0, None)]
+        eta = arr["surf_eta"][jnp.clip(sid, 0, None)]
+        d_t, d_r, F, tir, eta_rel = refract(d, n_si, eta)
+        w_diel = jnp.where(tir, 0.0, (1.0 - F) / (eta_rel * eta_rel))
+        is_diel = kind == DIELECTRIC
+        is_null = kind == NULL
+        w = jnp.where(is_diel, w_diel, jnp.where(is_null, 1.0, 0.0))
+        d_new = jnp.where(is_diel[..., None], d_t, d)
+
+        p_new = o + t_si[..., None] * d
+        o = jnp.where(active[..., None], p_new, o)
+        d = jnp.where(active[..., None], d_new, d)
+        amp = jnp.where(active, amp * w, amp)
+
+        ms = med_side[jnp.clip(sid, 0, None)]
+        dn = jnp.sum(d * n_si, -1)
+        enters = ((ms == 1) & (dn < 0.0)) | ((ms == 2) & (dn > 0.0))
+        in_medium = active & enters
+        active = active & (amp > 0.0)
+        return dict(o=o, d=d, amp=amp, t_med=t_med, in_medium=in_medium,
+                    active=active, Wf=Wf, UWf=UWf, it=s["it"] + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    W = state["Wf"].reshape(A, Y, X) / S
+    UW = state["UWf"].reshape(A, Y, X) / S
+    return W, UW
+
+
+def build_z_resample(static: MarchStatic, arr):
+    """(Zf, resy) binning matrix from DMD rows to film z-rows.
+
+    Collimated camera y maps linearly to world z (projector.py:236-240
+    + the circular-motion frame): row py's ray travels at constant
+    z = (0.5 - (py+0.5)/resy) * resy * pixel_size_y. The reference's 3D
+    DDA deposits that whole ray into the voxel CONTAINING its z
+    (sensor.py:306-440 with dz = 0) — exact parity is a 0/1 binning
+    matrix: Sz[k, r] = 1 iff row r's z falls inside voxel k. Rows sum
+    when resy outresolves the film; voxels between ray planes stay
+    zero, exactly like the reference.
+
+    With jittered pixel sampling (the reference default), a row's rays
+    spread uniformly over the pixel's z-footprint; the EXPECTED dose
+    splits across voxels by box overlap — that deterministic
+    expectation replaces the reference's Monte-Carlo jitter noise.
+    """
+    p = static.projector
+    resy = p.resy
+    _, _, Z = static.sensor.res
+    ey = resy * np.float32(arr["pixel_size"][1])
+    bz0 = float(arr["bbox_min"][2])
+    bz1 = float(arr["bbox_max"][2])
+    vs_z = (bz1 - bz0) / Z
+    ph = float(ey) / resy  # pixel z-footprint
+    Sz = np.zeros((Z, resy), np.float32)
+    for r in range(resy):
+        z_r = (0.5 - (r + 0.5) / resy) * float(ey)
+        if static.regular_sampling:
+            k = int(np.floor((z_r - bz0) / vs_z))
+            if 0 <= k < Z:
+                Sz[k, r] = 1.0
+        else:
+            lo, hi = z_r - 0.5 * ph, z_r + 0.5 * ph
+            k0 = int(np.floor((lo - bz0) / vs_z))
+            k1 = int(np.floor((hi - bz0) / vs_z + 1.0))
+            for k in range(max(k0, 0), min(k1 + 1, Z)):
+                vlo, vhi = bz0 + k * vs_z, bz0 + (k + 1) * vs_z
+                ov = max(0.0, min(hi, vhi) - max(lo, vlo)) / ph
+                if ov > 0:
+                    Sz[k, r] = ov
+    return jnp.asarray(Sz)

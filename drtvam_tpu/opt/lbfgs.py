@@ -21,6 +21,7 @@ control flow syncs one scalar per trial.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -37,16 +38,25 @@ class _LBFGSHistory:
         self.g_old = None
 
     def update_history(self, p, g):
-        if self.t > self.m:
-            self.s.pop(0)
-            self.y.pop(0)
-            self.ys.pop(0)
         p = jnp.ravel(p)
         g = jnp.ravel(g)
         if self.t > 0:
-            self.s.append(p - self.p_old)
-            self.y.append(g - self.g_old)
-            self.ys.append(jnp.dot(self.y[-1], self.s[-1]))
+            s = p - self.p_old
+            y = g - self.g_old
+            ys = float(jnp.dot(y, s))
+            # Curvature safeguard (the reference divides by ys unguarded,
+            # lbfgs.py:81 — safe there only because MC jitter keeps
+            # gradients noisy; our deterministic renders can converge to
+            # ys ~ 0, which would poison the recursion with inf/NaN).
+            norm = float(jnp.linalg.norm(y)) * float(jnp.linalg.norm(s))
+            if np.isfinite(ys) and ys > 1e-10 * max(norm, 1e-30):
+                self.s.append(s)
+                self.y.append(y)
+                self.ys.append(jnp.asarray(ys, jnp.float32))
+                if len(self.s) > self.m:
+                    self.s.pop(0)
+                    self.y.pop(0)
+                    self.ys.pop(0)
         self.p_old = p
         self.g_old = g
         self.t += 1
@@ -58,8 +68,9 @@ class _LBFGSHistory:
             a = jnp.dot(self.s[i], q) / self.ys[i]
             q = q - a * self.y[i]
             alphas.insert(0, a)
-        gamma = 1.0 if self.t == 1 else \
-            self.ys[-1] / jnp.dot(self.y[-1], self.y[-1])
+        gamma = 1.0 if not self.s else \
+            self.ys[-1] / jnp.maximum(jnp.dot(self.y[-1], self.y[-1]),
+                                      1e-30)
         z = gamma * q
         for i in range(len(self.s)):
             b = jnp.dot(self.y[i], z) / self.ys[i]

@@ -40,28 +40,61 @@ def _block(x):
 
 
 def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
-                   target):
+                   target, engine="auto"):
     """Jitted primal / adjoint / direction-render / line-search closures
-    for one integrator configuration."""
+    for one integrator configuration.
 
-    @jax.jit
-    def primal(data, seed):
-        vol = render(static, arr, data, inv_vol, seed, spp, spp_grad, chunk)
-        loss = loss_obj(vol, target, data)
-        return vol, loss
+    engine: 'auto' picks the ballistic matmul fast path when the scene
+    qualifies (collimated + analytic vial + pure absorption, see
+    ops/transport2d.ballistic_eligible), else the wavefront MC path
+    tracer; 'wavefront'/'ballistic' force one."""
+    from ..ops.ballistic import BallisticEngine, ballistic_eligible
 
-    @jax.jit
-    def adjoint(vol, data, seed):
-        dvol, dpat = jax.grad(
-            lambda v, p: loss_obj(v, target, p), argnums=(0, 1))(vol, data)
-        # δL into the raw accumulator = upstream * inv_vol (volume.py:130)
-        dL_flat = (dvol * inv_vol).reshape(-1)
-        pg = _adjoint(static, arr, seed, spp_grad, chunk, dL_flat)
-        return pg + dpat
+    use_ballistic = (engine == "ballistic") or \
+        (engine == "auto" and ballistic_eligible(static))
 
-    @jax.jit
-    def dir_render(data, seed):
-        return render(static, arr, data, inv_vol, seed, spp, spp_grad, chunk)
+    if use_ballistic:
+        eng = BallisticEngine(static, arr)
+
+        @jax.jit
+        def primal(data, seed):
+            vol = eng.render_vol(data, inv_vol)
+            loss = loss_obj(vol, target, data)
+            return vol, loss
+
+        @jax.jit
+        def adjoint(vol, data, seed):
+            dvol, dpat = jax.grad(
+                lambda v, p: loss_obj(v, target, p),
+                argnums=(0, 1))(vol, data)
+            return eng.pattern_grad(dvol, inv_vol) + dpat
+
+        @jax.jit
+        def dir_render(data, seed):
+            return eng.render_vol(data, inv_vol)
+    else:
+        @jax.jit
+        def primal(data, seed):
+            vol = render(static, arr, data, inv_vol, seed, spp, spp_grad,
+                         chunk)
+            loss = loss_obj(vol, target, data)
+            return vol, loss
+
+        @jax.jit
+        def adjoint(vol, data, seed):
+            dvol, dpat = jax.grad(
+                lambda v, p: loss_obj(v, target, p),
+                argnums=(0, 1))(vol, data)
+            # δL into the raw accumulator = upstream * inv_vol
+            # (volume.py:130)
+            dL_flat = (dvol * inv_vol).reshape(-1)
+            pg = _adjoint(static, arr, seed, spp_grad, chunk, dL_flat)
+            return pg + dpat
+
+        @jax.jit
+        def dir_render(data, seed):
+            return render(static, arr, data, inv_vol, seed, spp, spp_grad,
+                          chunk)
 
     @jax.jit
     def ls_loss(vol, pats):
@@ -99,6 +132,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
     transmission_only = config.get("transmission_only", True)
     regular_sampling = config.get("regular_sampling", False)
     chunk = config.get("chunk_size", default_chunk())
+    engine = config.get("engine", "auto")
     if regular_sampling:
         spp = 1  # shooting from pixel centers (common.py:52-55)
 
@@ -178,12 +212,16 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
     rr_depth_ref = config.get("rr_depth_ref", 8)
 
     def final_render(data):
+        from ..ops.ballistic import BallisticEngine, ballistic_eligible
         static_f, arr_f = scene.build(
             mode="volume", include_target=surface_aware,
             max_depth=max_depth_ref, rr_depth=rr_depth_ref,
             print_time=print_time, transmission_only=transmission_only,
             regular_sampling=regular_sampling, sensor=final_sensor)
         inv_vol_f = jnp.float32(1.0 / final_sensor.voxel_volume)
+        if engine != "wavefront" and ballistic_eligible(static_f):
+            eng = BallisticEngine(static_f, arr_f)
+            return np.asarray(_block(eng.render_vol(data, inv_vol_f)))
         return np.asarray(_block(render(
             static_f, arr_f, data, inv_vol_f, seed=0, spp=spp_ref,
             chunk=chunk)))
@@ -248,7 +286,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                 regular_sampling=regular_sampling)
             inv_vol = sensor.inv_volume(tb if surface_aware else None)
             return _make_step_fns(static, arr, inv_vol, spp, spp_grad,
-                                  chunk, loss_obj, target)
+                                  chunk, loss_obj, target, engine)
 
         primal, adjoint, dir_render, ls_loss = build_fns(
             3 if progressive else max_depth)

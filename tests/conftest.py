@@ -26,6 +26,6 @@ def box_hole_mesh(tmp_path_factory):
     a box with a cylindrical through-hole."""
     from drtvam_tpu.ops.mesh import make_box_with_hole, save_ply
     path = tmp_path_factory.mktemp("meshes") / "box_hole.ply"
-    mesh = make_box_with_hole((2.0, 2.0, 1.0), 0.5, segments=48)
+    mesh = make_box_with_hole((2.0, 2.0, 1.0), 0.5, segments=99)
     save_ply(mesh, str(path))
     return str(path)

@@ -85,7 +85,7 @@ def hole_mesh(tmp_path):
     # (2, 2, 0.5). Hole: radius 20 voxels = 1.0, center x offset
     # (30-50 voxels) = -1.0 in y-grid coords.
     mesh = make_box_with_hole((2.0, 2.0, 0.5), 1.0,
-                              hole_center_xy=(-1.0, 0.0), segments=64)
+                              hole_center_xy=(-1.0, 0.0), segments=99)
     path = str(tmp_path / "box_hole.ply")
     save_ply(mesh, path)
     return path
