@@ -7,6 +7,13 @@ non-scattering DDA volume integrator with regular (pixel-center)
 sampling — deterministic, zero-variance where the MC reference has
 jitter noise — at speed-of-light matmul cost instead of per-voxel
 scatter atomics.
+
+Surface-aware films (2 channels, film.py:16-21): the target mesh has a
+null BSDF and never deflects rays; the reference flips the deposit
+channel at each target crossing (volume.py:219). Here the channel is
+selected per voxel by the voxelized inside-mask — dose_in = M * dose,
+dose_out = (1-M) * dose — a pure elementwise split outside the kernels,
+so both channels cost one backprojection.
 """
 from __future__ import annotations
 
@@ -14,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .transport2d import build_transport, build_z_resample, \
-    ballistic_eligible
+    ballistic_eligible, strip_target
 from .backproject import backproject
 from .march import MarchStatic
 
@@ -31,15 +38,28 @@ def _default_impl():
 class BallisticEngine:
     """Per-(scene, sensor) engine. Construction traces + rasterizes the
     2D ray fan (one-time, seconds); `render_vol` / `pattern_grad` are
-    pure jittable functions of the sparse pattern vector."""
+    pure jittable functions of the sparse pattern vector.
+
+    For surface-aware sensors pass `inside_mask` — the (Z, Y, X) binary
+    occupancy of the target in this sensor's grid."""
 
     def __init__(self, static: MarchStatic, arr, supersample: int = 1,
-                 impl: str | None = None):
+                 impl: str | None = None, inside_mask=None):
         assert ballistic_eligible(static), "scene not ballistic-eligible"
         self.static = static
         self.impl = impl or _default_impl()
+        self.surface_aware = static.sensor.channels == 2
+        if self.surface_aware:
+            assert inside_mask is not None, \
+                "surface-aware ballistic engine needs the inside mask"
+            self.mask = jnp.asarray(inside_mask).reshape(
+                static.sensor.res[2], static.sensor.res[1],
+                static.sensor.res[0])
+        else:
+            self.mask = None
+        static2, arr2 = strip_target(static, arr)
         W, UW = jax.jit(build_transport, static_argnums=(0, 2))(
-            static, arr, supersample)
+            static2, arr2, supersample)
         self.W = W
         self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
         self.Sz = build_z_resample(static, arr)
@@ -63,12 +83,18 @@ class BallisticEngine:
         return flat.reshape(n, ry, rx)
 
     def render_vol(self, active_data, inv_vol):
-        """(Z, Y, X, 1) dose volume; differentiable w.r.t. active_data."""
+        """(Z, Y, X, C) dose volume; differentiable w.r.t. active_data."""
         P = self.dense_patterns(active_data)
         Pz = jnp.einsum("zr,aru->azu", self.Sz, P)
         dose = backproject(self.impl, Pz, self.W, self.Umap)
         X, Y, Z = self.static.sensor.res
-        return dose.reshape(Z, Y, X, 1) * (self.scalar * inv_vol)
+        dose = dose.reshape(Z, Y, X) * self.scalar
+        if self.surface_aware:
+            vol = jnp.stack([dose * self.mask,
+                             dose * (1.0 - self.mask)], axis=-1)
+        else:
+            vol = dose[..., None]
+        return vol * inv_vol
 
     # -- explicit adjoint (avoids re-running the forward inside vjp) ------
 
@@ -77,7 +103,13 @@ class BallisticEngine:
         from .backproject import _bwd_pallas, _bwd_xla
         X, Y, Z = self.static.sensor.res
         U = self.shape_dense[2]
-        dL = (dvol[..., 0] * (self.scalar * inv_vol)).reshape(Z, Y * X)
+        dvol = dvol * inv_vol
+        if self.surface_aware:
+            dL = dvol[..., 0] * self.mask + dvol[..., 1] * \
+                (1.0 - self.mask)
+        else:
+            dL = dvol[..., 0]
+        dL = (dL * self.scalar).reshape(Z, Y * X)
         if self.impl == "pallas":
             Pz_bar = _bwd_pallas(dL, self.W, self.Umap, U)
         else:

@@ -40,17 +40,37 @@ INF = jnp.float32(jnp.inf)
 def ballistic_eligible(static: MarchStatic) -> bool:
     """The fast path covers the reference's headline benchmarks:
     collimated projector, pure absorption, analytic (z-invariant)
-    vials, transmission-only BSDFs, dda estimator, 1-channel film."""
-    from ..models.geometry import MESH
+    vials, transmission-only BSDFs, dda estimator. A target mesh with a
+    null BSDF is allowed (surface-aware films): it never deflects rays,
+    it only selects the deposit channel, which the engine reproduces
+    with the voxelized inside-mask. Occlusions / mesh vials are not
+    z-invariant -> wavefront fallback."""
+    from ..models.geometry import MESH, NULL
     return (
         static.mode == "volume"
         and static.projector.kind == "collimated"
         and not static.has_scattering
         and static.sensor.estimator == "dda"
-        and static.sensor.channels == 1
         and static.transmission_only
-        and all(s.kind != MESH for s in static.surfaces)
+        and all(s.kind != MESH or (s.is_target and s.bsdf == NULL)
+                for s in static.surfaces)
     )
+
+
+def strip_target(static: MarchStatic, arr):
+    """Remove target surfaces (geometry no-ops for ballistic rays) so
+    the 2D trace only sees the z-invariant interfaces."""
+    import dataclasses
+    keep = [i for i, s in enumerate(static.surfaces) if not s.is_target]
+    if len(keep) == len(static.surfaces):
+        return static, arr
+    idx = np.asarray(keep)
+    static2 = dataclasses.replace(
+        static, surfaces=tuple(static.surfaces[i] for i in keep))
+    arr2 = dict(arr)
+    arr2["surf_params"] = arr["surf_params"][idx]
+    arr2["surf_eta"] = arr["surf_eta"][idx]
+    return static2, arr2
 
 
 def build_transport(static: MarchStatic, arr, supersample: int = 1):

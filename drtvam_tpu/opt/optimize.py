@@ -40,7 +40,7 @@ def _block(x):
 
 
 def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
-                   target, engine="auto"):
+                   target, engine="auto", inside_mask=None):
     """Jitted primal / adjoint / direction-render / line-search closures
     for one integrator configuration.
 
@@ -54,7 +54,7 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
         (engine == "auto" and ballistic_eligible(static))
 
     if use_ballistic:
-        eng = BallisticEngine(static, arr)
+        eng = BallisticEngine(static, arr, inside_mask=inside_mask)
 
         @jax.jit
         def primal(data, seed):
@@ -285,8 +285,9 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                 transmission_only=transmission_only,
                 regular_sampling=regular_sampling)
             inv_vol = sensor.inv_volume(tb if surface_aware else None)
+            mask = sensor.discretize(tb) if surface_aware else None
             return _make_step_fns(static, arr, inv_vol, spp, spp_grad,
-                                  chunk, loss_obj, target, engine)
+                                  chunk, loss_obj, target, engine, mask)
 
         primal, adjoint, dir_render, ls_loss = build_fns(
             3 if progressive else max_depth)
