@@ -95,7 +95,7 @@ def _bwd_xla(dL, W, Umap, U):
 TILE = 2048          # YX columns per dose tile (forward)
 TILE_BWD = 512       # YX columns per backward tile (bounds VMEM: the
                      # on-the-fly B^T tile is (TILE_BWD, Upad))
-ABLK = 8             # angles per backward block (amortizes dL re-reads)
+ABLK = 1             # angles per backward block
 
 
 def _fwd_kernel(P_ref, F_ref, out_ref):
@@ -119,22 +119,25 @@ def _fwd_kernel(P_ref, F_ref, out_ref):
 
 
 def _bwd_kernel(dL_ref, F_ref, out_ref):
+    """out (Zp, Upad) += dL(Zp, T) @ B_a^T(T, Upad), one angle per
+    outer grid step, accumulating over the inner YX-tile dimension.
+    The on-the-fly-built interpolation tile sits on the RHS of the
+    matmul exactly like the forward kernel -- with it on the LHS,
+    Mosaic spends tens of minutes in relayout during compilation."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    Upad = out_ref.shape[2]
     T = F_ref.shape[2]
-    for k in range(F_ref.shape[0]):
-        W = F_ref[k, 0, :].reshape(T, 1)
-        u = F_ref[k, 1, :].reshape(T, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (T, Upad), 1)
-        cols = cols.astype(jnp.float32)
-        Bt = W * jnp.maximum(0.0, 1.0 - jnp.abs(u - cols))
-        out_ref[k] += jnp.dot(dL_ref[:], Bt,
-                              preferred_element_type=jnp.float32)
+    Upad = out_ref.shape[1]
+    W = F_ref[0, 0, :].reshape(T, 1)
+    u = F_ref[0, 1, :].reshape(T, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, Upad), 1)
+    Bt = W * jnp.maximum(0.0, 1.0 - jnp.abs(u - cols.astype(jnp.float32)))
+    out_ref[:] += jnp.dot(dL_ref[:], Bt,
+                          preferred_element_type=jnp.float32)
 
 
 def _pack_fields(W, Umap, U, tile):
@@ -192,36 +195,30 @@ def _bwd_pallas(dL, W, Umap, U):
     YX = Y * X
     Upad = _round_up(U, 128)
     Zp = _round_up(Zf, 8)
-    Ab = _round_up(A, ABLK)
     F = _pack_fields(W, Umap, U, TILE_BWD)
-    if Ab != A:
-        F = jnp.pad(F, ((0, Ab - A), (0, 0), (0, 0)))
-        F = F.at[A:, 1, :].set(-2.0)
     YXp = F.shape[2]
     n_tiles = YXp // TILE_BWD
-    dLp = jnp.pad(dL.reshape(Zf, YX),
-                  ((0, Zp - Zf), (0, YXp - YX)))
+    dLp = jnp.pad(dL.reshape(Zf, YX), ((0, Zp - Zf), (0, YXp - YX)))
 
     out = pl.pallas_call(
         _bwd_kernel,
-        grid=(Ab // ABLK, n_tiles),
+        grid=(A, n_tiles),
         in_specs=[
             pl.BlockSpec((Zp, TILE_BWD), lambda a, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ABLK, 2, TILE_BWD), lambda a, t: (a, 0, t),
+            pl.BlockSpec((1, 2, TILE_BWD), lambda a, t: (a, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ABLK, Zp, Upad), lambda a, t: (a, 0, 0),
+        out_specs=pl.BlockSpec((Zp, Upad), lambda a, t: (a, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ab, Zp, Upad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((A * Zp, Upad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * Ab * Zp * Upad * TILE_BWD,
-            bytes_accessed=(Ab // ABLK) * n_tiles *
-            (Zp * TILE_BWD * 4 + ABLK * 2 * TILE_BWD * 4)
-            + Ab * Zp * Upad * 4,
+            flops=2 * n_tiles * A * Zp * Upad * TILE_BWD,
+            bytes_accessed=A * n_tiles *
+            (Zp * TILE_BWD * 4 + 2 * TILE_BWD * 4) + A * Zp * Upad * 4,
             transcendentals=0),
     )(dLp, F)
-    return out[:A, :Zf, :U]
+    return out.reshape(A, Zp, Upad)[:, :Zf, :U]
 
 
 # --------------------------------------------------------------------------

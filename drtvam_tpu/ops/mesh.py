@@ -175,11 +175,10 @@ def make_box(half, center=(0, 0, 0)):
 def make_open_box(half_outer, wall, open_top=True):
     """A 5-sided cuvette as two nested open boxes (outer + inner shell).
 
-    Returns (outer, inner) meshes whose normals both point away from the
-    wall material: outward for the outer shell, inward (toward the cavity)
-    for the inner shell — matching the reference's custom-vial convention
-    (geometry.py:98-138: "both surfaces have normals pointing in the right
-    directions").
+    Returns (outer, inner) meshes, BOTH with outward-pointing normals —
+    the reference's custom-vial convention (verified against its
+    cuvette_inner.ply fixture: the printing medium is the inner mesh's
+    interior under the outward-normal convention, geometry.py:98-138).
     """
     ho = np.asarray(half_outer, np.float64)
     outer = make_box(ho)
@@ -190,9 +189,7 @@ def make_open_box(half_outer, wall, open_top=True):
                          center=(0, 0, wall))
     else:
         inner = make_box(hi)
-    # flip inner faces so normals point into the cavity
-    inner_faces = inner.faces[:, ::-1]
-    return outer, TriMesh(inner.vertices, inner_faces)
+    return outer, inner
 
 
 def make_box_with_hole(half, hole_radius, hole_center_xy=(0.0, 0.0),
@@ -254,6 +251,31 @@ def make_box_with_hole(half, hole_radius, hole_center_xy=(0.0, 0.0),
         faces += [[sb[i], st[i], st[j]], [sb[i], st[j], sb[j]]]
 
     return TriMesh(np.array(verts, np.float32), np.array(faces, np.int32))
+
+
+def make_box_tube(hx, hy, z0, z1, flip=False):
+    """Open rectangular tube (4 side walls, no caps) — the shape of the
+    reference's cuvette_outer/inner.ply test fixtures (8 triangles).
+    Normals point outward — the reference's inner cuvette wall ALSO uses
+    outward normals (verified against cuvette_inner.ply): the printing
+    medium is the mesh interior under the outward-normal convention."""
+    v = np.array([[sx * hx, sy * hy, z]
+                  for z in (z0, z1) for sy in (-1, 1) for sx in (-1, 1)],
+                 np.float32)
+    # bottom ring 0..3 (x fastest), top ring 4..7
+    quads = [
+        (0, 1, 5, 4),  # y- wall
+        (3, 2, 6, 7),  # y+ wall
+        (1, 3, 7, 5),  # x+ wall
+        (2, 0, 4, 6),  # x- wall
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    f = np.array(faces, np.int32)
+    if flip:
+        f = f[:, ::-1]
+    return TriMesh(v, f)
 
 
 def make_cylinder_shell(radius, z0, z1, segments=96, flip=False):
