@@ -5,14 +5,15 @@ on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": x}
-vs_baseline is the L40S wall-clock for the same workload class
-(cylindrical 1 rpp: 23 s, README.md:131) divided by ours (> 1 == we
-beat the L40S). The timed region covers the full optimization loop
+vs_baseline = L40S wall-clock for the same workload class (cylindrical
+1 rpp: 23 s, README.md:131) / ours (> 1 == faster than the L40S).
+
+The timed value = one-time geometry transport precompute (steady
+state, compile-cached) + the full 40-iteration optimization loop
 (primal render + loss + adjoint + L-BFGS direction render + line
-search + clamp, 40 iterations) plus the one-time transport-field
-precompute; jit compilation is excluded via a 2-iteration warm-up
-(the reference's own numbers amortize Dr.Jit's kernel cache the same
-way across its 40 iterations).
+search + clamp). jit compilation is excluded via warm-up, mirroring
+how the reference's numbers amortize Dr.Jit's kernel cache; a
+persistent compilation cache under .jax_cache makes reruns cheap.
 """
 import json
 import os
@@ -22,8 +23,9 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__),
-                                   ".jax_cache"))
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -36,15 +38,14 @@ FILM = 256
 N_STEPS = 40
 
 
-def build():
+def build_scene():
     from drtvam_tpu.models.scene import Scene
     from drtvam_tpu.ops.mesh import make_box_with_hole, save_ply
 
     mesh_path = "/tmp/bench_target.ply"
-    if not os.path.exists(mesh_path):
-        save_ply(make_box_with_hole((2.0, 2.0, 1.0), 0.6,
-                                    hole_center_xy=(-0.8, 0.0),
-                                    segments=99), mesh_path)
+    save_ply(make_box_with_hole((2.0, 2.0, 1.0), 0.6,
+                                hole_center_xy=(-0.8, 0.0),
+                                segments=99), mesh_path)
     cfg = {
         "vial": {"type": "cylindrical", "r_int": 7.0, "r_ext": 7.5,
                  "ior": 1.54,
@@ -64,52 +65,81 @@ def build():
 
 
 def main():
-    from drtvam_tpu.opt.optimize import _make_step_fns
     from drtvam_tpu.opt.loss import ThresholdedLoss
     from drtvam_tpu.opt.lbfgs import LinearLBFGS
-    from drtvam_tpu.ops.render import default_chunk
+    from drtvam_tpu.ops.ballistic import BallisticEngine
 
-    t_setup = time.time()
-    scene = build()
+    t0 = time.time()
+    scene = build_scene()
     static, arr = scene.build(mode="volume", include_target=False,
                               max_depth=6, rr_depth=6)
     target = jnp.asarray(scene.sensor.discretize(scene.target_bank()))
     inv_vol = jnp.float32(1.0 / scene.sensor.voxel_volume)
     loss_obj = ThresholdedLoss({"tl": 0.9, "tu": 0.95})
     n = scene.projector.active_size()
-    print(f"# setup (scene+discretize): {time.time() - t_setup:.1f}s; "
-          f"lanes/render = {n}", file=sys.stderr)
+    jax.block_until_ready(target)
+    print(f"# scene+discretize: {time.time() - t0:.1f}s; "
+          f"rays/render = {n}", file=sys.stderr)
 
-    def run(n_steps, tag):
-        t0 = time.time()
-        primal, adjoint, dir_render, ls_loss = _make_step_fns(
-            static, arr, inv_vol, 1, 1, default_chunk(), loss_obj,
-            target, engine="auto")
+    t0 = time.time()
+    eng = BallisticEngine(static, arr)
+    jax.block_until_ready(eng.W)
+    print(f"# transport precompute (cold): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    @jax.jit
+    def primal(data):
+        vol = eng.render_vol(data, inv_vol)
+        return vol, loss_obj(vol, target, data)
+
+    @jax.jit
+    def adjoint(vol, data):
+        dvol, dpat = jax.grad(
+            lambda v, p: loss_obj(v, target, p), argnums=(0, 1))(vol, data)
+        return eng.pattern_grad(dvol, inv_vol) + dpat
+
+    @jax.jit
+    def dir_render(data):
+        return eng.render_vol(data, inv_vol)
+
+    @jax.jit
+    def ls_loss(vol, pats):
+        return loss_obj(vol, target, pats)
+
+    def loop(n_steps):
         opt = LinearLBFGS(
-            render_fn=lambda z: jax.block_until_ready(
-                dir_render(z, jnp.uint32(0))),
+            render_fn=lambda z: jax.block_until_ready(dir_render(z)),
             loss_fn=ls_loss)
         data = jnp.ones((n,), jnp.float32)
         losses = []
-        for i in range(n_steps):
-            seed = jnp.uint32(i)
-            vol, loss = jax.block_until_ready(primal(data, seed))
-            grad = jax.block_until_ready(adjoint(vol, data, seed))
-            if float(loss) == 0.0:
-                losses.append(float(loss))
+        for _ in range(n_steps):
+            vol, loss = jax.block_until_ready(primal(data))
+            grad = jax.block_until_ready(adjoint(vol, data))
+            losses.append(float(loss))
+            if losses[-1] == 0.0:
                 break
             data = opt.step(data, grad, vol, loss)
             data = jax.block_until_ready(jnp.maximum(data, 0.0))
-            losses.append(float(loss))
-        dt = time.time() - t0
-        print(f"# {tag}: {dt:.2f}s for {len(losses)} iters, "
-              f"loss {losses[0]:.3e} -> {losses[-1]:.3e}",
-              file=sys.stderr)
-        return dt
+        return losses
 
-    run(2, "warmup (incl. jit compile + transport build)")
-    wall = run(N_STEPS, f"benchmark {N_ANGLES} angles x {DMD}^2 DMD x "
-               f"{FILM}^3 film x {N_STEPS} L-BFGS iters")
+    t0 = time.time()
+    loop(2)
+    print(f"# warmup (jit compile): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    # steady-state geometry precompute (compile-cached)
+    t0 = time.time()
+    eng2 = BallisticEngine(static, arr)
+    jax.block_until_ready(eng2.W)
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    losses = loop(N_STEPS)
+    t_loop = time.time() - t0
+    wall = t_build + t_loop
+    print(f"# precompute {t_build:.2f}s + {len(losses)}-iter loop "
+          f"{t_loop:.2f}s; loss {losses[0]:.3e} -> {losses[-1]:.3e}",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": f"benchy-class cylindrical {N_ANGLES} angles "

@@ -93,7 +93,7 @@ def _bwd_xla(dL, W, Umap, U):
 # Pallas TPU kernels
 
 TILE = 2048          # YX columns per dose tile (forward)
-TILE_BWD = 512       # YX columns per backward tile (bounds VMEM: the
+TILE_BWD = 2048       # YX columns per backward tile (bounds VMEM: the
                      # on-the-fly B^T tile is (TILE_BWD, Upad))
 ABLK = 1             # angles per backward block
 

@@ -35,6 +35,11 @@ def _default_impl():
         return "xla"
 
 
+# module-level jit so repeated engine construction for the same geometry
+# shape hits the compile cache
+_build_transport = jax.jit(build_transport, static_argnums=(0, 2))
+
+
 class BallisticEngine:
     """Per-(scene, sensor) engine. Construction traces + rasterizes the
     2D ray fan (one-time, seconds); `render_vol` / `pattern_grad` are
@@ -58,8 +63,7 @@ class BallisticEngine:
         else:
             self.mask = None
         static2, arr2 = strip_target(static, arr)
-        W, UW = jax.jit(build_transport, static_argnums=(0, 2))(
-            static2, arr2, supersample)
+        W, UW = _build_transport(static2, arr2, supersample)
         self.W = W
         self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
         self.Sz = build_z_resample(static, arr)
@@ -73,6 +77,9 @@ class BallisticEngine:
         self.active_pixels = arr["active_pixels"]
         self.n_active = p.n_active
         self.shape_dense = (p.n_patterns, p.resy, p.resx)
+        # parallel.shard.shard_ballistic_engine replaces this with an
+        # angle-sharded mesh implementation
+        self._sharded_bp = None
 
     # -- differentiable forward -------------------------------------------
 
@@ -86,7 +93,10 @@ class BallisticEngine:
         """(Z, Y, X, C) dose volume; differentiable w.r.t. active_data."""
         P = self.dense_patterns(active_data)
         Pz = jnp.einsum("zr,aru->azu", self.Sz, P)
-        dose = backproject(self.impl, Pz, self.W, self.Umap)
+        if self._sharded_bp is not None:
+            dose = self._sharded_bp(Pz, self.W, self.Umap)
+        else:
+            dose = backproject(self.impl, Pz, self.W, self.Umap)
         X, Y, Z = self.static.sensor.res
         dose = dose.reshape(Z, Y, X) * self.scalar
         if self.surface_aware:
@@ -110,7 +120,10 @@ class BallisticEngine:
         else:
             dL = dvol[..., 0]
         dL = (dL * self.scalar).reshape(Z, Y * X)
-        if self.impl == "pallas":
+        if self._sharded_bp is not None:
+            # chip-local per-angle adjoint, no collective
+            Pz_bar = self._sharded_bwd(dL)
+        elif self.impl == "pallas":
             Pz_bar = _bwd_pallas(dL, self.W, self.Umap, U)
         else:
             Pz_bar = _bwd_xla(dL, self.W, self.Umap, U)

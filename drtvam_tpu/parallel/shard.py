@@ -143,3 +143,80 @@ def render_sharded(mesh, static, arr, active_data, inv_vol, seed=0, spp=1,
     raw = make_sharded_render(mesh)(static, arr, active_data, seed, spp,
                                     spp_grad, chunk)
     return raw.reshape(static.sensor.shape) * inv_vol
+
+
+# --------------------------------------------------------------------------
+# ballistic engine sharding: angles -> chips
+
+
+def make_sharded_backproject(mesh: Mesh, impl: str):
+    """Angle-sharded ballistic backprojection. The per-angle transport
+    fields and pattern stack are block-sharded over the mesh axis; each
+    chip backprojects its own angle block into a local dose grid and
+    ONE psum reduces doses over ICI. The adjoint needs NO collective:
+    each angle's pattern gradient depends only on the (replicated) dose
+    cotangent, so the result stays angle-sharded."""
+    from ..ops.backproject import _fwd_xla, _fwd_pallas, _bwd_xla, \
+        _bwd_pallas
+    fwd_impl = _fwd_pallas if impl == "pallas" else _fwd_xla
+    bwd_impl = _bwd_pallas if impl == "pallas" else _bwd_xla
+
+    @partial(jax.custom_vjp, nondiff_argnums=())
+    def bp(Pz, W, Umap):
+        def local(Pz, W, Umap):
+            return jax.lax.psum(fwd_impl(Pz, W, Umap), AXIS)
+
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                             out_specs=P(), check_vma=False)(Pz, W, Umap)
+
+    def _fwd(Pz, W, Umap):
+        return bp(Pz, W, Umap), (W, Umap, Pz.shape[2])
+
+    def _bwd(res, dL):
+        W, Umap, U = res
+
+        def local(W, Umap, dL):
+            return bwd_impl(dL, W, Umap, U)
+
+        Pbar = jax.shard_map(local, mesh=mesh,
+                             in_specs=(P(AXIS), P(AXIS), P()),
+                             out_specs=P(AXIS), check_vma=False)(
+                                 W, Umap, dL)
+        return (Pbar, jnp.zeros_like(W), jnp.zeros_like(Umap))
+
+    bp.defvjp(_fwd, _bwd)
+    return bp
+
+
+def shard_ballistic_engine(eng, mesh: Mesh):
+    """Re-point a BallisticEngine's backprojection at an angle-sharded
+    mesh implementation and place its per-angle fields on the mesh.
+    Angle count must divide evenly over the mesh (pad patterns upstream
+    if needed). Returns the same engine, mutated."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    A = eng.W.shape[0]
+    assert A % n_dev == 0, \
+        f"{A} angles do not divide over {n_dev} devices"
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, P(AXIS))
+    eng.W = jax.device_put(eng.W, sh)
+    eng.Umap = jax.device_put(eng.Umap, sh)
+    eng._sharded_bp = make_sharded_backproject(mesh, eng.impl)
+
+    from ..ops.backproject import _bwd_xla, _bwd_pallas
+    bwd_impl = _bwd_pallas if eng.impl == "pallas" else _bwd_xla
+    U = eng.shape_dense[2]
+    W, Umap = eng.W, eng.Umap
+
+    def sharded_bwd(dL):
+        def local(W_, U_, dL_):
+            return bwd_impl(dL_, W_, U_, U)
+
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(P(AXIS), P(AXIS), P()),
+                             out_specs=P(AXIS), check_vma=False)(
+                                 W, Umap, dL)
+
+    eng._sharded_bwd = sharded_bwd
+    return eng
