@@ -15,11 +15,12 @@ advance a per-lane uint32 counter.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-_M = jnp.uint32(1664525)
-_A = jnp.uint32(1013904223)
-_INV24 = jnp.float32(1.0 / (1 << 24))
+_M = np.uint32(1664525)
+_A = np.uint32(1013904223)
+_INV24 = np.float32(1.0 / (1 << 24))  # numpy: no device commit at import
 
 
 def _pcg3d(x, y, z):

@@ -20,7 +20,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..ops.mesh import TriMesh, load_ply
+from ..ops.mesh import TriMesh, load_mesh
 
 IOR_AIR = 1.000277  # Mitsuba's named "air" IOR, the dielectric default
 
@@ -86,7 +86,7 @@ def _occlusion_specs(params, resolve_path):
     reference — geometry.py:55-72)."""
     specs = []
     for occ in params.get("occlusions", []):
-        mesh = load_ply(resolve_path(occ["filename"]))
+        mesh = load_mesh(resolve_path(occ["filename"]))
         bsdf = ABSORB
         b = occ.get("bsdf")
         if isinstance(b, dict) and b.get("type") == "null":
@@ -168,8 +168,8 @@ class CustomVial(Container):
                     "[CustomVial] Missing fields 'filename_vial_outer' or "
                     "'filename_vial_inner' for custom vial.")
         vior = float(p["ior"])
-        outer = load_ply(self.resolve_path(p["filename_vial_outer"]))
-        inner = load_ply(self.resolve_path(p["filename_vial_inner"]))
+        outer = load_mesh(self.resolve_path(p["filename_vial_outer"]))
+        inner = load_mesh(self.resolve_path(p["filename_vial_inner"]))
         return [
             SurfaceSpec(kind=MESH, bsdf=DIELECTRIC, mesh=outer,
                         eta=vior / IOR_AIR, name="vial_exterior"),

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .geometry import geometries, SurfaceSpec, MESH, NULL
 from .projector import Projector
 from .sensor import Sensor
-from ..ops.mesh import TriMesh, load_ply
+from ..ops.mesh import TriMesh, load_mesh
 from ..ops.march import MarchStatic, SurfaceStatic
 
 
@@ -61,7 +61,7 @@ class Scene:
 
         if "filename" not in config["target"]:
             raise ValueError("Missing field 'filename' for the target shape.")
-        raw_target = load_ply(resolve_path(config["target"]["filename"]))
+        raw_target = load_mesh(resolve_path(config["target"]["filename"]))
         self.target_mesh = _mesh_transform(raw_target, config["target"])
 
         self.projector = Projector(config["projector"], resolve_path)

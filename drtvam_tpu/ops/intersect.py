@@ -15,10 +15,11 @@ ray) — the BSDF layer handles sidedness.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # numpy: no device commit at import time
 
 
 def ray_cylinder(o, d, tmin, r, z0, z1):

@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -48,7 +49,7 @@ from ..models.projector import ProjectorStatic, sample_rays, ray_weight
 from ..models.sensor import SensorStatic
 from ..models.geometry import CYLINDER, BOX, MESH, DIELECTRIC, NULL, ABSORB
 
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # numpy: no device commit at import time
 RAY_EPS = 1e-4
 
 

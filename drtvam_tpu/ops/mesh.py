@@ -31,6 +31,12 @@ class TriMesh:
         v = v * np.float32(scale) + np.asarray(translate, np.float32)
         return TriMesh(v, self.faces)
 
+    def transformed_matrix(self, to_world):
+        """Apply a homogeneous 4x4 to_world matrix to the vertices."""
+        M = np.asarray(to_world, np.float64)
+        v = self.vertices @ M[:3, :3].T + M[:3, 3]
+        return TriMesh(v, self.faces)
+
     def triangle_bank(self):
         """Return (v0, e1, e2, n) float32 arrays with geometric normals."""
         v = self.vertices
@@ -131,6 +137,43 @@ def load_ply(path):
         for j in range(1, cnt - 1):
             faces.append([idx[0], idx[j], idx[j + 1]])
     return TriMesh(verts, np.array(faces, np.int32))
+
+
+def load_obj(path):
+    """Minimal Wavefront OBJ reader (v / f records, polygon fans).
+    The reference accepts ply and obj targets (utils.py:145-147)."""
+    verts, faces = [], []
+    with open(path, "r") as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                # "f v", "f v/vt", "f v/vt/vn", "f v//vn"; 1-based,
+                # negatives count from the end
+                idx = []
+                for p in parts[1:]:
+                    i = int(p.split("/")[0])
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for j in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[j], idx[j + 1]])
+    if not verts or not faces:
+        raise ValueError(f"OBJ file '{path}' has no triangles.")
+    return TriMesh(np.asarray(verts, np.float32),
+                   np.asarray(faces, np.int32))
+
+
+def load_mesh(path):
+    """Load a triangle mesh by extension (ply | obj)."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "ply":
+        return load_ply(path)
+    if ext == "obj":
+        return load_obj(path)
+    raise ValueError(f"Unsupported extension: '{ext}', only PLY and OBJ "
+                     "meshes are supported.")
 
 
 def save_ply(mesh: TriMesh, path):

@@ -34,7 +34,7 @@ from .march import MarchStatic, intersect_scene
 from .fresnel import refract
 from ..models.geometry import DIELECTRIC, NULL
 
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # numpy: no device commit at import time
 
 
 def ballistic_eligible(static: MarchStatic) -> bool:
