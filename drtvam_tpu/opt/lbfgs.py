@@ -61,6 +61,32 @@ class _LBFGSHistory:
         self.g_old = g
         self.t += 1
 
+    # -- checkpointing (no reference equivalent: the reference never
+    # persists optimizer state, SURVEY.md §5) --------------------------
+
+    def state_dict(self):
+        """Numpy snapshot of the two-loop recursion history."""
+        d = {"t": np.int64(self.t), "m": np.int64(self.m),
+             "n_hist": np.int64(len(self.s))}
+        for i in range(len(self.s)):
+            d[f"s_{i}"] = np.asarray(self.s[i])
+            d[f"y_{i}"] = np.asarray(self.y[i])
+            d[f"ys_{i}"] = np.asarray(self.ys[i])
+        if self.p_old is not None:
+            d["p_old"] = np.asarray(self.p_old)
+            d["g_old"] = np.asarray(self.g_old)
+        return d
+
+    def load_state_dict(self, d):
+        self.t = int(d["t"])
+        self.m = int(d["m"])
+        n = int(d["n_hist"])
+        self.s = [jnp.asarray(d[f"s_{i}"]) for i in range(n)]
+        self.y = [jnp.asarray(d[f"y_{i}"]) for i in range(n)]
+        self.ys = [jnp.asarray(d[f"ys_{i}"]) for i in range(n)]
+        self.p_old = jnp.asarray(d["p_old"]) if "p_old" in d else None
+        self.g_old = jnp.asarray(d["g_old"]) if "g_old" in d else None
+
     def search_direction(self, g):
         q = jnp.ravel(g)
         alphas = []

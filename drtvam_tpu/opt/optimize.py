@@ -277,6 +277,13 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
         # ---- the optimization loop (optimize.py:287-325) -----------------
         print("Optimizing patterns...")
         data = scene.projector.active_data
+        checkpoint_every = int(config.get("checkpoint_every", 0))
+        resume_ckpt = None
+        if config.get("resume", False):
+            from .checkpoint import load_checkpoint
+            resume_ckpt = load_checkpoint(output)
+            if resume_ckpt is None:
+                print("No checkpoint found; starting from scratch.")
 
         def build_fns(depth):
             static, arr = scene.build(
@@ -312,7 +319,25 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
         else:
             raise ValueError(f"Unknown optimizer type: '{optim_type}'")
 
-        for i in trange(n_steps):
+        start_step = 0
+        if resume_ckpt is not None:
+            from .checkpoint import restore_opt_state
+            start_step = int(resume_ckpt["step"]) + 1
+            data = jnp.asarray(resume_ckpt["active_data"])
+            scene.projector.set_active(resume_ckpt["active_pixels"],
+                                       resume_ckpt["active_data"])
+            n_saved = min(len(resume_ckpt["loss_hist"]), n_steps)
+            loss_hist[:n_saved] = resume_ckpt["loss_hist"][:n_saved]
+            timing_hist[:n_saved] = resume_ckpt["timing_hist"][:n_saved]
+            new_state = restore_opt_state(resume_ckpt, optim_type, opt,
+                                          opt_state)
+            if new_state is not None:
+                opt_state = new_state
+            if progressive and start_step >= 5:
+                primal, adjoint, dir_render, ls_loss = build_fns(max_depth)
+            print(f"Resuming from checkpoint at step {start_step}.")
+
+        for i in trange(start_step, n_steps):
             if progressive and i == 5:
                 primal, adjoint, dir_render, ls_loss = build_fns(max_depth)
             seed_holder["v"] = i
@@ -341,6 +366,13 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
             # Clamp patterns >= 0 (optimize.py:320)
             data = _block(jnp.maximum(data, 0.0))
             timing_hist[i, 1] = time_mod.perf_counter() - t1
+
+            if checkpoint_every and ((i + 1) % checkpoint_every == 0
+                                     or i == n_steps - 1):
+                from .checkpoint import save_checkpoint
+                save_checkpoint(output, i, data,
+                                scene.projector.active_pixels, loss_hist,
+                                timing_hist, optim_type, opt, opt_state)
 
         scene.projector.active_data = data
 
