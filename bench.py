@@ -87,24 +87,34 @@ def main():
     print(f"# transport precompute (cold): {time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    @jax.jit
-    def primal(data):
-        vol = eng.render_vol(data, inv_vol)
-        return vol, loss_obj(vol, target, data)
+    # Big arrays (transport fields, target) ride as jit ARGUMENTS — as
+    # closure constants they are baked into the HLO, which bloats the
+    # executable and can exceed remote-compile payload limits.
+    ep = eng.params()
 
     @jax.jit
-    def adjoint(vol, data):
+    def primal_j(data, ep, tgt):
+        vol = eng.render_vol(data, inv_vol, params=ep)
+        return vol, loss_obj(vol, tgt, data)
+
+    @jax.jit
+    def adjoint_j(vol, data, ep, tgt):
         dvol, dpat = jax.grad(
-            lambda v, p: loss_obj(v, target, p), argnums=(0, 1))(vol, data)
-        return eng.pattern_grad(dvol, inv_vol) + dpat
+            lambda v, p: loss_obj(v, tgt, p), argnums=(0, 1))(vol, data)
+        return eng.pattern_grad(dvol, inv_vol, params=ep) + dpat
 
     @jax.jit
-    def dir_render(data):
-        return eng.render_vol(data, inv_vol)
+    def dir_render_j(data, ep):
+        return eng.render_vol(data, inv_vol, params=ep)
 
     @jax.jit
-    def ls_loss(vol, pats):
-        return loss_obj(vol, target, pats)
+    def ls_loss_j(vol, pats, tgt):
+        return loss_obj(vol, tgt, pats)
+
+    primal = lambda data: primal_j(data, ep, target)
+    adjoint = lambda vol, data: adjoint_j(vol, data, ep, target)
+    dir_render = lambda data: dir_render_j(data, ep)
+    ls_loss = lambda vol, pats: ls_loss_j(vol, pats, target)
 
     def loop(n_steps):
         opt = LinearLBFGS(

@@ -83,49 +83,65 @@ class BallisticEngine:
 
     # -- differentiable forward -------------------------------------------
 
-    def dense_patterns(self, active_data):
+    def params(self):
+        """Device-array fields as a pytree. Pass this as an ARGUMENT to
+        your jitted step functions (and hand it to render_vol /
+        pattern_grad via `params=`) instead of letting jit capture the
+        fields as closure constants — W/Umap are O(angles x film^2) and
+        constant-folding them bloats the compiled executable (and
+        overflows payload-limited remote-compile services)."""
+        p = {"W": self.W, "Umap": self.Umap, "Sz": self.Sz,
+             "scalar": self.scalar, "active_pixels": self.active_pixels}
+        if self.surface_aware:
+            p["mask"] = self.mask
+        return p
+
+    def dense_patterns(self, active_data, active_pixels=None):
+        ap = self.active_pixels if active_pixels is None else active_pixels
         n, ry, rx = self.shape_dense
         flat = jnp.zeros((n * ry * rx,), jnp.float32)
-        flat = flat.at[self.active_pixels].set(active_data)
+        flat = flat.at[ap].set(active_data)
         return flat.reshape(n, ry, rx)
 
-    def render_vol(self, active_data, inv_vol):
+    def render_vol(self, active_data, inv_vol, params=None):
         """(Z, Y, X, C) dose volume; differentiable w.r.t. active_data."""
-        P = self.dense_patterns(active_data)
-        Pz = jnp.einsum("zr,aru->azu", self.Sz, P)
+        p = self.params() if params is None else params
+        P = self.dense_patterns(active_data, p["active_pixels"])
+        Pz = jnp.einsum("zr,aru->azu", p["Sz"], P)
         if self._sharded_bp is not None:
-            dose = self._sharded_bp(Pz, self.W, self.Umap)
+            dose = self._sharded_bp(Pz, p["W"], p["Umap"])
         else:
-            dose = backproject(self.impl, Pz, self.W, self.Umap)
+            dose = backproject(self.impl, Pz, p["W"], p["Umap"])
         X, Y, Z = self.static.sensor.res
-        dose = dose.reshape(Z, Y, X) * self.scalar
+        dose = dose.reshape(Z, Y, X) * p["scalar"]
         if self.surface_aware:
-            vol = jnp.stack([dose * self.mask,
-                             dose * (1.0 - self.mask)], axis=-1)
+            vol = jnp.stack([dose * p["mask"],
+                             dose * (1.0 - p["mask"])], axis=-1)
         else:
             vol = dose[..., None]
         return vol * inv_vol
 
     # -- explicit adjoint (avoids re-running the forward inside vjp) ------
 
-    def pattern_grad(self, dvol, inv_vol):
+    def pattern_grad(self, dvol, inv_vol, params=None):
         """d loss / d active_data given d loss / d vol."""
         from .backproject import _bwd_pallas, _bwd_xla
+        p = self.params() if params is None else params
         X, Y, Z = self.static.sensor.res
         U = self.shape_dense[2]
         dvol = dvol * inv_vol
         if self.surface_aware:
-            dL = dvol[..., 0] * self.mask + dvol[..., 1] * \
-                (1.0 - self.mask)
+            dL = dvol[..., 0] * p["mask"] + dvol[..., 1] * \
+                (1.0 - p["mask"])
         else:
             dL = dvol[..., 0]
-        dL = (dL * self.scalar).reshape(Z, Y * X)
+        dL = (dL * p["scalar"]).reshape(Z, Y * X)
         if self._sharded_bp is not None:
             # chip-local per-angle adjoint, no collective
             Pz_bar = self._sharded_bwd(dL)
         elif self.impl == "pallas":
-            Pz_bar = _bwd_pallas(dL, self.W, self.Umap, U)
+            Pz_bar = _bwd_pallas(dL, p["W"], p["Umap"], U)
         else:
-            Pz_bar = _bwd_xla(dL, self.W, self.Umap, U)
-        Pbar = jnp.einsum("zr,azu->aru", self.Sz, Pz_bar)
-        return Pbar.reshape(-1)[self.active_pixels]
+            Pz_bar = _bwd_xla(dL, p["W"], p["Umap"], U)
+        Pbar = jnp.einsum("zr,azu->aru", p["Sz"], Pz_bar)
+        return Pbar.reshape(-1)[p["active_pixels"]]

@@ -53,52 +53,74 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
     use_ballistic = (engine == "ballistic") or \
         (engine == "auto" and ballistic_eligible(static))
 
+    # Large arrays (transport fields, scene arrays, target volume,
+    # surface-aware inv_vol) are passed as jit ARGUMENTS, not captured
+    # as closure constants: constants are baked into the compiled
+    # executable, which bloats it by O(angles x film^2) and can exceed
+    # payload limits of remote-compile backends.
     if use_ballistic:
         eng = BallisticEngine(static, arr, inside_mask=inside_mask)
+        ep = eng.params()
 
         @jax.jit
-        def primal(data, seed):
-            vol = eng.render_vol(data, inv_vol)
-            loss = loss_obj(vol, target, data)
+        def primal_j(data, seed, ep, iv, tgt):
+            vol = eng.render_vol(data, iv, params=ep)
+            loss = loss_obj(vol, tgt, data)
             return vol, loss
 
         @jax.jit
-        def adjoint(vol, data, seed):
+        def adjoint_j(vol, data, seed, ep, iv, tgt):
             dvol, dpat = jax.grad(
-                lambda v, p: loss_obj(v, target, p),
+                lambda v, p: loss_obj(v, tgt, p),
                 argnums=(0, 1))(vol, data)
-            return eng.pattern_grad(dvol, inv_vol) + dpat
+            return eng.pattern_grad(dvol, iv, params=ep) + dpat
 
         @jax.jit
-        def dir_render(data, seed):
-            return eng.render_vol(data, inv_vol)
+        def dir_render_j(data, seed, ep, iv):
+            return eng.render_vol(data, iv, params=ep)
+
+        primal = lambda data, seed: primal_j(data, seed, ep, inv_vol,
+                                             target)
+        adjoint = lambda vol, data, seed: adjoint_j(vol, data, seed, ep,
+                                                    inv_vol, target)
+        dir_render = lambda data, seed: dir_render_j(data, seed, ep,
+                                                     inv_vol)
     else:
-        @jax.jit
-        def primal(data, seed):
-            vol = render(static, arr, data, inv_vol, seed, spp, spp_grad,
+        @partial(jax.jit, static_argnames=())
+        def primal_j(data, seed, arr_, iv, tgt):
+            vol = render(static, arr_, data, iv, seed, spp, spp_grad,
                          chunk)
-            loss = loss_obj(vol, target, data)
+            loss = loss_obj(vol, tgt, data)
             return vol, loss
 
         @jax.jit
-        def adjoint(vol, data, seed):
+        def adjoint_j(vol, data, seed, arr_, iv, tgt):
             dvol, dpat = jax.grad(
-                lambda v, p: loss_obj(v, target, p),
+                lambda v, p: loss_obj(v, tgt, p),
                 argnums=(0, 1))(vol, data)
             # δL into the raw accumulator = upstream * inv_vol
             # (volume.py:130)
-            dL_flat = (dvol * inv_vol).reshape(-1)
-            pg = _adjoint(static, arr, seed, spp_grad, chunk, dL_flat)
+            dL_flat = (dvol * iv).reshape(-1)
+            pg = _adjoint(static, arr_, seed, spp_grad, chunk, dL_flat)
             return pg + dpat
 
         @jax.jit
-        def dir_render(data, seed):
-            return render(static, arr, data, inv_vol, seed, spp, spp_grad,
+        def dir_render_j(data, seed, arr_, iv):
+            return render(static, arr_, data, iv, seed, spp, spp_grad,
                           chunk)
 
+        primal = lambda data, seed: primal_j(data, seed, arr, inv_vol,
+                                             target)
+        adjoint = lambda vol, data, seed: adjoint_j(vol, data, seed, arr,
+                                                    inv_vol, target)
+        dir_render = lambda data, seed: dir_render_j(data, seed, arr,
+                                                     inv_vol)
+
     @jax.jit
-    def ls_loss(vol, pats):
-        return loss_obj(vol, target, pats)
+    def ls_loss_j(vol, pats, tgt):
+        return loss_obj(vol, tgt, pats)
+
+    ls_loss = lambda vol, pats: ls_loss_j(vol, pats, target)
 
     return primal, adjoint, dir_render, ls_loss
 
@@ -319,6 +341,16 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
         else:
             raise ValueError(f"Unknown optimizer type: '{optim_type}'")
 
+        # optional device profiling (SURVEY.md §5: the reference records
+        # Dr.Jit kernel history; here a jax.profiler trace on request)
+        profile_dir = config.get("profile", False)
+        if profile_dir:
+            profile_dir = os.path.join(output, "trace") \
+                if profile_dir is True or profile_dir == "true" \
+                else str(profile_dir)
+            jax.profiler.start_trace(profile_dir)
+            print(f"Profiling to {profile_dir}")
+
         start_step = 0
         if resume_ckpt is not None:
             from .checkpoint import restore_opt_state
@@ -374,6 +406,8 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                                 scene.projector.active_pixels, loss_hist,
                                 timing_hist, optim_type, opt, opt_state)
 
+        if profile_dir:
+            jax.profiler.stop_trace()
         scene.projector.active_data = data
 
     # ---- final render + artifacts (optimize.py:327-366) ------------------
