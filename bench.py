@@ -111,15 +111,21 @@ def main():
     def ls_loss_j(vol, pats, tgt):
         return loss_obj(vol, tgt, pats)
 
+    @jax.jit
+    def ls_cand_j(vol, dvol, alpha, pats, tgt):
+        return loss_obj(vol + alpha * dvol, tgt, pats)
+
     primal = lambda data: primal_j(data, ep, target)
     adjoint = lambda vol, data: adjoint_j(vol, data, ep, target)
     dir_render = lambda data: dir_render_j(data, ep)
     ls_loss = lambda vol, pats: ls_loss_j(vol, pats, target)
+    ls_cand = lambda vol, dvol, a, z: ls_cand_j(vol, dvol,
+                                                jnp.float32(a), z, target)
 
     def loop(n_steps):
         opt = LinearLBFGS(
             render_fn=lambda z: jax.block_until_ready(dir_render(z)),
-            loss_fn=ls_loss)
+            loss_fn=ls_loss, candidate_fn=ls_cand)
         data = jnp.ones((n,), jnp.float32)
         losses = []
         for _ in range(n_steps):

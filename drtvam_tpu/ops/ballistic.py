@@ -77,6 +77,17 @@ class BallisticEngine:
         self.active_pixels = arr["active_pixels"]
         self.n_active = p.n_active
         self.shape_dense = (p.n_patterns, p.resy, p.resx)
+        # With every pixel active (no radon/corner culling) the sparse
+        # store is the identity; the 64M-lane scatter/gather it would
+        # otherwise lower to costs ~10x the backprojection matmuls on
+        # TPU (see benchmarks/micro_ballistic.py), so detect it once on
+        # the host and reshape instead.
+        n_dense = p.n_patterns * p.resy * p.resx
+        import numpy as _np
+        ap = _np.asarray(self.active_pixels)
+        self.identity_pixels = (ap.size == n_dense and ap[0] == 0
+                                and ap[-1] == n_dense - 1
+                                and bool(_np.all(_np.diff(ap) == 1)))
         # parallel.shard.shard_ballistic_engine replaces this with an
         # angle-sharded mesh implementation
         self._sharded_bp = None
@@ -99,6 +110,8 @@ class BallisticEngine:
     def dense_patterns(self, active_data, active_pixels=None):
         ap = self.active_pixels if active_pixels is None else active_pixels
         n, ry, rx = self.shape_dense
+        if self.identity_pixels:
+            return active_data.reshape(n, ry, rx)
         flat = jnp.zeros((n * ry * rx,), jnp.float32)
         flat = flat.at[ap].set(active_data)
         return flat.reshape(n, ry, rx)
@@ -144,4 +157,6 @@ class BallisticEngine:
         else:
             Pz_bar = _bwd_xla(dL, p["W"], p["Umap"], U)
         Pbar = jnp.einsum("zr,azu->aru", p["Sz"], Pz_bar)
+        if self.identity_pixels:
+            return Pbar.reshape(-1)
         return Pbar.reshape(-1)[p["active_pixels"]]

@@ -147,10 +147,15 @@ class LinearLBFGS(_LBFGSHistory):
     loss_fn(vol, patterns) -> scalar evaluates the loss (with the
     sparsity term on `patterns`)."""
 
-    def __init__(self, render_fn, loss_fn, m=5, search_it=20):
+    def __init__(self, render_fn, loss_fn, m=5, search_it=20,
+                 candidate_fn=None):
         super().__init__(m)
         self.render_fn = render_fn
         self.loss_fn = loss_fn
+        # optional fused evaluator (vol, dvol, alpha, dir) -> loss: lets
+        # callers jit `loss(vol + alpha*dvol)` as ONE kernel instead of
+        # an eager volume add + a separate loss pass per trial
+        self.candidate_fn = candidate_fn
         self.search_it = search_it
         self.last_alpha = None
 
@@ -165,8 +170,10 @@ class LinearLBFGS(_LBFGSHistory):
         alpha = 1.0
         loss = float(loss)
         for _ in range(self.search_it):
-            vol_new = vol + alpha * dvol
-            f_new = float(self.loss_fn(vol_new, z))
+            if self.candidate_fn is not None:
+                f_new = float(self.candidate_fn(vol, dvol, alpha, z))
+            else:
+                f_new = float(self.loss_fn(vol + alpha * dvol, z))
             if f_new <= loss + c1 * alpha * g_dot_z:
                 break
             alpha *= 0.5

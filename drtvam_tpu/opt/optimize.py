@@ -122,7 +122,14 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
 
     ls_loss = lambda vol, pats: ls_loss_j(vol, pats, target)
 
-    return primal, adjoint, dir_render, ls_loss
+    @jax.jit
+    def ls_cand_j(vol, dvol, alpha, pats, tgt):
+        return loss_obj(vol + alpha * dvol, tgt, pats)
+
+    ls_cand = lambda vol, dvol, alpha, pats: ls_cand_j(
+        vol, dvol, jnp.float32(alpha), pats, target)
+
+    return primal, adjoint, dir_render, ls_loss, ls_cand
 
 
 def optimize(config, patterns_fwd=None, resolve_path=None):
@@ -318,7 +325,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
             return _make_step_fns(static, arr, inv_vol, spp, spp_grad,
                                   chunk, loss_obj, target, engine, mask)
 
-        primal, adjoint, dir_render, ls_loss = build_fns(
+        primal, adjoint, dir_render, ls_loss, ls_cand = build_fns(
             3 if progressive else max_depth)
 
         seed_holder = {"v": 0}
@@ -329,6 +336,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                 render_fn=lambda z: _block(dir_render(
                     z, jnp.uint32(seed_holder["v"]))),
                 loss_fn=lambda v, p: ls_loss(v, p),
+                candidate_fn=lambda v, dv, a, z: ls_cand(v, dv, a, z),
                 **opt_cfg)
         elif optim_type in ("adam", "sgd"):
             import optax
@@ -366,12 +374,14 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
             if new_state is not None:
                 opt_state = new_state
             if progressive and start_step >= 5:
-                primal, adjoint, dir_render, ls_loss = build_fns(max_depth)
+                primal, adjoint, dir_render, ls_loss, ls_cand = \
+                    build_fns(max_depth)
             print(f"Resuming from checkpoint at step {start_step}.")
 
         for i in trange(start_step, n_steps):
             if progressive and i == 5:
-                primal, adjoint, dir_render, ls_loss = build_fns(max_depth)
+                primal, adjoint, dir_render, ls_loss, ls_cand = \
+                    build_fns(max_depth)
             seed_holder["v"] = i
             seed = jnp.uint32(i)
 
