@@ -98,46 +98,69 @@ TILE_BWD = 2048       # YX columns per backward tile (bounds VMEM: the
 ABLK = 1             # angles per backward block
 
 
-def _fwd_kernel(P_ref, F_ref, out_ref):
-    a = pl.program_id(1)
+def _make_fwd_kernel(bf16):
+    def _fwd_kernel(P_ref, F_ref, out_ref):
+        a = pl.program_id(1)
 
-    @pl.when(a == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(a == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    Upad, T = P_ref.shape[2], F_ref.shape[2]
-    acc = out_ref[:]
-    for k in range(P_ref.shape[0]):
-        W = F_ref[k, 0, :].reshape(1, T)
-        u = F_ref[k, 1, :].reshape(1, T)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (Upad, T), 0)
-        rows = rows.astype(jnp.float32)
-        B = W * jnp.maximum(0.0, 1.0 - jnp.abs(u - rows))
-        acc = acc + jnp.dot(P_ref[k], B,
-                            preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+        Upad, T = P_ref.shape[2], F_ref.shape[2]
+        acc = out_ref[:]
+        for k in range(P_ref.shape[0]):
+            W = F_ref[k, 0, :].reshape(1, T)
+            u = F_ref[k, 1, :].reshape(1, T)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Upad, T), 0)
+            rows = rows.astype(jnp.float32)
+            B = W * jnp.maximum(0.0, 1.0 - jnp.abs(u - rows))
+            P = P_ref[k]
+            if bf16:
+                # single-pass bf16 operands, f32 accumulation: the
+                # B tile's own bf16 rounding (~2^-9 on interpolation
+                # weights) dominates the error either way, so paying a
+                # second (split-precision) pass buys nothing
+                acc = acc + jnp.dot(P.astype(jnp.bfloat16),
+                                    B.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+            else:
+                acc = acc + jnp.dot(P, B,
+                                    preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+    return _fwd_kernel
 
 
-def _bwd_kernel(dL_ref, F_ref, out_ref):
-    """out (Zp, Upad) += dL(Zp, T) @ B_a^T(T, Upad), one angle per
-    outer grid step, accumulating over the inner YX-tile dimension.
-    The on-the-fly-built interpolation tile sits on the RHS of the
-    matmul exactly like the forward kernel -- with it on the LHS,
-    Mosaic spends tens of minutes in relayout during compilation."""
-    t = pl.program_id(1)
+def _make_bwd_kernel(bf16):
+    def _bwd_kernel(dL_ref, F_ref, out_ref):
+        """out (Zp, Upad) += dL(Zp, T) @ B_a^T(T, Upad), one angle per
+        outer grid step, accumulating over the inner YX-tile dimension.
+        The on-the-fly-built interpolation tile sits on the RHS of the
+        matmul exactly like the forward kernel -- with it on the LHS,
+        Mosaic spends tens of minutes in relayout during compilation."""
+        t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    T = F_ref.shape[2]
-    Upad = out_ref.shape[1]
-    W = F_ref[0, 0, :].reshape(T, 1)
-    u = F_ref[0, 1, :].reshape(T, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (T, Upad), 1)
-    Bt = W * jnp.maximum(0.0, 1.0 - jnp.abs(u - cols.astype(jnp.float32)))
-    out_ref[:] += jnp.dot(dL_ref[:], Bt,
-                          preferred_element_type=jnp.float32)
+        T = F_ref.shape[2]
+        Upad = out_ref.shape[1]
+        W = F_ref[0, 0, :].reshape(T, 1)
+        u = F_ref[0, 1, :].reshape(T, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, Upad), 1)
+        Bt = W * jnp.maximum(0.0,
+                             1.0 - jnp.abs(u - cols.astype(jnp.float32)))
+        dL = dL_ref[:]
+        if bf16:
+            out_ref[:] += jnp.dot(dL.astype(jnp.bfloat16),
+                                  Bt.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+        else:
+            out_ref[:] += jnp.dot(dL, Bt,
+                                  preferred_element_type=jnp.float32)
+
+    return _bwd_kernel
 
 
 def _pack_fields(W, Umap, U, tile):
@@ -157,7 +180,7 @@ def _pack_fields(W, Umap, U, tile):
     return F
 
 
-def _fwd_pallas(Pz, W, Umap):
+def _fwd_pallas(Pz, W, Umap, bf16=False):
     A, Zf, U = Pz.shape
     _, Y, X = W.shape
     YX = Y * X
@@ -169,7 +192,7 @@ def _fwd_pallas(Pz, W, Umap):
     n_tiles = YXp // TILE
 
     out = pl.pallas_call(
-        _fwd_kernel,
+        _make_fwd_kernel(bf16),
         grid=(n_tiles, A),
         in_specs=[
             pl.BlockSpec((1, Zp, Upad), lambda t, a: (a, 0, 0),
@@ -189,7 +212,7 @@ def _fwd_pallas(Pz, W, Umap):
     return out[:Zf, :YX]
 
 
-def _bwd_pallas(dL, W, Umap, U):
+def _bwd_pallas(dL, W, Umap, U, bf16=False):
     A, Y, X = W.shape
     Zf = dL.shape[0]
     YX = Y * X
@@ -201,7 +224,7 @@ def _bwd_pallas(dL, W, Umap, U):
     dLp = jnp.pad(dL.reshape(Zf, YX), ((0, Zp - Zf), (0, YXp - YX)))
 
     out = pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(bf16),
         grid=(A, n_tiles),
         in_specs=[
             pl.BlockSpec((Zp, TILE_BWD), lambda a, t: (0, t),
@@ -227,9 +250,14 @@ def _bwd_pallas(dL, W, Umap, U):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def backproject(impl, Pz, W, Umap):
-    """dose(Zf, Y*X) = sum_a Pz_a @ B_a(W_a, u_map_a)."""
+    """dose(Zf, Y*X) = sum_a Pz_a @ B_a(W_a, u_map_a).
+
+    impl: 'xla' | 'pallas' | 'pallas_bf16' (split-precision bf16
+    operands on the MXU, f32 accumulation)."""
     if impl == "pallas":
         return _fwd_pallas(Pz, W, Umap)
+    if impl == "pallas_bf16":
+        return _fwd_pallas(Pz, W, Umap, bf16=True)
     return _fwd_xla(Pz, W, Umap)
 
 
@@ -241,9 +269,21 @@ def _bp_bwd(impl, res, dL):
     W, Umap, U = res
     if impl == "pallas":
         Pbar = _bwd_pallas(dL, W, Umap, U)
+    elif impl == "pallas_bf16":
+        Pbar = _bwd_pallas(dL, W, Umap, U, bf16=True)
     else:
         Pbar = _bwd_xla(dL, W, Umap, U)
     return (Pbar, jnp.zeros_like(W), jnp.zeros_like(Umap))
 
 
 backproject.defvjp(_bp_fwd, _bp_bwd)
+
+
+def get_impls(impl):
+    """(fwd(Pz, W, Umap), bwd(dL, W, Umap, U)) pair for an impl name."""
+    if impl == "pallas":
+        return _fwd_pallas, _bwd_pallas
+    if impl == "pallas_bf16":
+        return (partial(_fwd_pallas, bf16=True),
+                lambda dL, W, Um, U: _bwd_pallas(dL, W, Um, U, bf16=True))
+    return _fwd_xla, _bwd_xla

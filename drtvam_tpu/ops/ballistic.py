@@ -17,6 +17,8 @@ so both channels cost one backprojection.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -30,9 +32,15 @@ __all__ = ["BallisticEngine", "ballistic_eligible"]
 
 def _default_impl():
     try:
-        return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        if jax.devices()[0].platform == "cpu":
+            return "xla"
     except Exception:
         return "xla"
+    # DRTVAM_MATMUL=bf16 selects split-precision bf16 MXU operands
+    # (f32 accumulation) — ~bf16-rate matmuls at ~2^-16 relative error
+    if os.environ.get("DRTVAM_MATMUL", "f32") == "bf16":
+        return "pallas_bf16"
+    return "pallas"
 
 
 # module-level jit so repeated engine construction for the same geometry
@@ -63,7 +71,18 @@ class BallisticEngine:
         else:
             self.mask = None
         static2, arr2 = strip_target(static, arr)
-        W, UW = _build_transport(static2, arr2, supersample)
+        # transport precompute: native C++ rasterizer (OpenMP host, the
+        # Mitsuba-scene-build analog) when buildable, else the jitted
+        # device path — identical math, tested equivalent
+        native = None
+        if os.environ.get("DRTVAM_NATIVE_TRANSPORT", "1") != "0":
+            from ..native import build_transport_native
+            native = build_transport_native(static2, arr2, supersample)
+        if native is not None:
+            W = jnp.asarray(native[0])
+            UW = jnp.asarray(native[1])
+        else:
+            W, UW = _build_transport(static2, arr2, supersample)
         self.W = W
         self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
         self.Sz = build_z_resample(static, arr)
@@ -83,11 +102,14 @@ class BallisticEngine:
         # TPU (see benchmarks/micro_ballistic.py), so detect it once on
         # the host and reshape instead.
         n_dense = p.n_patterns * p.resy * p.resx
-        import numpy as _np
-        ap = _np.asarray(self.active_pixels)
-        self.identity_pixels = (ap.size == n_dense and ap[0] == 0
-                                and ap[-1] == n_dense - 1
-                                and bool(_np.all(_np.diff(ap) == 1)))
+        ap = self.active_pixels
+        if ap.shape[0] != n_dense:
+            self.identity_pixels = False
+        else:
+            # exact check, evaluated ON DEVICE (a host round-trip of the
+            # 64M-index array costs seconds over thin-pipe transports)
+            self.identity_pixels = bool(jnp.all(jnp.diff(ap) == 1)
+                                        and ap[0] == 0)
         # parallel.shard.shard_ballistic_engine replaces this with an
         # angle-sharded mesh implementation
         self._sharded_bp = None
@@ -138,7 +160,7 @@ class BallisticEngine:
 
     def pattern_grad(self, dvol, inv_vol, params=None):
         """d loss / d active_data given d loss / d vol."""
-        from .backproject import _bwd_pallas, _bwd_xla
+        from .backproject import get_impls
         p = self.params() if params is None else params
         X, Y, Z = self.static.sensor.res
         U = self.shape_dense[2]
@@ -152,10 +174,8 @@ class BallisticEngine:
         if self._sharded_bp is not None:
             # chip-local per-angle adjoint, no collective
             Pz_bar = self._sharded_bwd(dL)
-        elif self.impl == "pallas":
-            Pz_bar = _bwd_pallas(dL, p["W"], p["Umap"], U)
         else:
-            Pz_bar = _bwd_xla(dL, p["W"], p["Umap"], U)
+            Pz_bar = get_impls(self.impl)[1](dL, p["W"], p["Umap"], U)
         Pbar = jnp.einsum("zr,azu->aru", p["Sz"], Pz_bar)
         if self.identity_pixels:
             return Pbar.reshape(-1)

@@ -156,10 +156,8 @@ def make_sharded_backproject(mesh: Mesh, impl: str):
     ONE psum reduces doses over ICI. The adjoint needs NO collective:
     each angle's pattern gradient depends only on the (replicated) dose
     cotangent, so the result stays angle-sharded."""
-    from ..ops.backproject import _fwd_xla, _fwd_pallas, _bwd_xla, \
-        _bwd_pallas
-    fwd_impl = _fwd_pallas if impl == "pallas" else _fwd_xla
-    bwd_impl = _bwd_pallas if impl == "pallas" else _bwd_xla
+    from ..ops.backproject import get_impls
+    fwd_impl, bwd_impl = get_impls(impl)
 
     @partial(jax.custom_vjp, nondiff_argnums=())
     def bp(Pz, W, Umap):
@@ -204,8 +202,8 @@ def shard_ballistic_engine(eng, mesh: Mesh):
     eng.Umap = jax.device_put(eng.Umap, sh)
     eng._sharded_bp = make_sharded_backproject(mesh, eng.impl)
 
-    from ..ops.backproject import _bwd_xla, _bwd_pallas
-    bwd_impl = _bwd_pallas if eng.impl == "pallas" else _bwd_xla
+    from ..ops.backproject import get_impls
+    bwd_impl = get_impls(eng.impl)[1]
     U = eng.shape_dense[2]
     W, Umap = eng.W, eng.Umap
 
