@@ -90,14 +90,19 @@ class Projector:
             self.n_patterns, self.resy, self.resx = n, h, w
             self.crop = (w, h)
             self.crop_offset = (0, 0)
+            # host numpy storage: device transfer happens once, when
+            # these ride into a jitted call as arguments — eager device
+            # ops here would cost host<->device round trips per scene
             if props.get("filter_nonzero", False):
                 flat = pat.reshape(-1)
                 idx = np.nonzero(flat > 0)[0].astype(np.int32)
-                self.active_pixels = jnp.asarray(idx)
-                self.active_data = jnp.asarray(flat[idx])
+                self.active_pixels = idx
+                self.active_data = flat[idx]
+                self.dense_identity = False
             else:
-                self.active_data = jnp.asarray(pat.reshape(-1))
-                self.active_pixels = jnp.arange(n * h * w, dtype=jnp.int32)
+                self.active_data = pat.reshape(-1)
+                self.active_pixels = np.arange(n * h * w, dtype=np.int32)
+                self.dense_identity = True
         else:
             self.n_patterns = int(props.get("n_patterns", 1000))
             self.resx = int(props.get("resx", 256))
@@ -122,8 +127,12 @@ class Projector:
                                 cropx * cropy)
             flat = pat_idx * (self.resx * self.resy) + np.tile(
                 pix, self.n_patterns)
-            self.active_pixels = jnp.asarray(flat.astype(np.int32))
-            self.active_data = jnp.zeros((flat.size,), jnp.float32)
+            self.active_pixels = flat.astype(np.int32)
+            self.active_data = np.zeros((flat.size,), np.float32)
+            # every pixel of every pattern active, in order: the sparse
+            # store is the identity map (fast paths skip the scatter)
+            self.dense_identity = (cropx == self.resx and
+                                   cropy == self.resy)
 
         # projection-model parameters
         ps = props.get("pixel_size")
@@ -171,14 +180,16 @@ class Projector:
     def patterns(self, active_data=None):
         """Re-scatter sparse storage to the dense (n, resy, resx) stack."""
         data = self.active_data if active_data is None else active_data
-        dense = jnp.zeros((self.n_patterns * self.resy * self.resx,),
-                          jnp.float32)
-        dense = dense.at[self.active_pixels].set(data)
+        data = np.asarray(data, np.float32)
+        dense = np.zeros((self.n_patterns * self.resy * self.resx,),
+                         np.float32)
+        dense[np.asarray(self.active_pixels)] = data
         return dense.reshape(self.n_patterns, self.resy, self.resx)
 
     def set_active(self, active_pixels, active_data):
-        self.active_pixels = jnp.asarray(active_pixels, jnp.int32)
-        self.active_data = jnp.asarray(active_data, jnp.float32)
+        self.active_pixels = np.asarray(active_pixels, np.int32)
+        self.active_data = np.asarray(active_data, np.float32)
+        self.dense_identity = False
         if self.active_data.shape != self.active_pixels.shape:
             raise ValueError("active_data and active_pixels must have the "
                              "same length.")
@@ -189,11 +200,11 @@ class Projector:
 
     def arrays(self):
         return {
-            "active_pixels": self.active_pixels,
-            "pixel_size": jnp.asarray(self.pixel_size, jnp.float32),
-            "aperture_radius": jnp.float32(self.aperture_radius),
-            "focus_distance": jnp.float32(self.focus_distance),
-            "motion_distance": jnp.float32(self.motion.distance),
+            "active_pixels": np.asarray(self.active_pixels, np.int32),
+            "pixel_size": np.asarray(self.pixel_size, np.float32),
+            "aperture_radius": np.float32(self.aperture_radius),
+            "focus_distance": np.float32(self.focus_distance),
+            "motion_distance": np.float32(self.motion.distance),
         }
 
 

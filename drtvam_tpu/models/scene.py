@@ -81,10 +81,9 @@ class Scene:
     # -- target staging ----------------------------------------------------
 
     def target_bank(self):
-        """Device triangle bank (v0, e1, e2, n) of the transformed target."""
+        """Host triangle bank (v0, e1, e2, n) of the transformed target."""
         if self._target_bank is None:
-            v0, e1, e2, n = self.target_mesh.triangle_bank()
-            self._target_bank = tuple(jnp.asarray(a) for a in (v0, e1, e2, n))
+            self._target_bank = self.target_mesh.triangle_bank()
         return self._target_bank
 
     # -- render-scene compilation -------------------------------------------
@@ -152,20 +151,24 @@ class Scene:
             clockwise=self.projector.motion.clockwise,
             mode=mode,
         )
+        # host numpy throughout: these arrays ride into jitted renders
+        # as ARGUMENTS (one transfer at dispatch); eager device arrays
+        # here would cost a host<->device round trip per field, which
+        # over a network-attached TPU dominates scene construction
         arr = {
-            "surf_params": jnp.asarray(np.asarray(params, np.float32)),
-            "surf_eta": jnp.asarray(np.asarray(etas, np.float32)),
-            "tri_v0": jnp.asarray(np.concatenate(tri_v0)),
-            "tri_e1": jnp.asarray(np.concatenate(tri_e1)),
-            "tri_e2": jnp.asarray(np.concatenate(tri_e2)),
-            "tri_n": jnp.asarray(np.concatenate(tri_n)),
-            "bbox_min": jnp.asarray(sensor.bbox_min),
-            "bbox_max": jnp.asarray(sensor.bbox_max),
-            "sigma_t": jnp.float32(m.sigma_t),
-            "albedo": jnp.float32(m.albedo),
-            "phase_g": jnp.float32(m.phase_g),
-            "majorant": jnp.float32(max(sensor.majorant, 1e-30)),
-            "print_time": jnp.float32(print_time),
+            "surf_params": np.asarray(params, np.float32),
+            "surf_eta": np.asarray(etas, np.float32),
+            "tri_v0": np.concatenate(tri_v0).astype(np.float32),
+            "tri_e1": np.concatenate(tri_e1).astype(np.float32),
+            "tri_e2": np.concatenate(tri_e2).astype(np.float32),
+            "tri_n": np.concatenate(tri_n).astype(np.float32),
+            "bbox_min": np.asarray(sensor.bbox_min, np.float32),
+            "bbox_max": np.asarray(sensor.bbox_max, np.float32),
+            "sigma_t": np.float32(m.sigma_t),
+            "albedo": np.float32(m.albedo),
+            "phase_g": np.float32(m.phase_g),
+            "majorant": np.float32(max(sensor.majorant, 1e-30)),
+            "print_time": np.float32(print_time),
         }
         arr.update(self.projector.arrays())
         return static, arr

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -79,37 +80,52 @@ class BallisticEngine:
             from ..native import build_transport_native
             native = build_transport_native(static2, arr2, supersample)
         if native is not None:
-            W = jnp.asarray(native[0])
-            UW = jnp.asarray(native[1])
+            # host numpy end-to-end: Umap derived on host, then ONE
+            # one-way upload of (W, Umap). No device round trips — over
+            # a network-attached TPU every sync costs tens of ms to
+            # seconds, which used to dominate engine construction.
+            Wn, UWn = native
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Un = np.where(Wn > 0, UWn / np.maximum(Wn, 1e-30),
+                              np.float32(-2.0)).astype(np.float32)
+            self.W = jnp.asarray(Wn)
+            self.Umap = jnp.asarray(Un)
         else:
             W, UW = _build_transport(static2, arr2, supersample)
-        self.W = W
-        self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
-        self.Sz = build_z_resample(static, arr)
+            self.W = W
+            self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
+        self.Sz = jnp.asarray(build_z_resample(static, arr))
         p = static.projector
         # ray weight: pixel_area * print_time, spp=1 (projector.py:184-188
         # + common.py:111); the dose stays "raw" — inv_vol applied by the
         # caller exactly like ops.render.render.
-        self.scalar = jnp.float32(arr["pixel_size"][0] *
-                                  arr["pixel_size"][1] *
-                                  arr["print_time"])
+        self.scalar = jnp.float32(float(np.asarray(arr["pixel_size"])[0]) *
+                                  float(np.asarray(arr["pixel_size"])[1]) *
+                                  float(np.asarray(arr["print_time"])))
         self.active_pixels = arr["active_pixels"]
         self.n_active = p.n_active
         self.shape_dense = (p.n_patterns, p.resy, p.resx)
         # With every pixel active (no radon/corner culling) the sparse
         # store is the identity; the 64M-lane scatter/gather it would
         # otherwise lower to costs ~10x the backprojection matmuls on
-        # TPU (see benchmarks/micro_ballistic.py), so detect it once on
-        # the host and reshape instead.
+        # TPU (see benchmarks/micro_ballistic.py), so detect it once and
+        # reshape instead.
         n_dense = p.n_patterns * p.resy * p.resx
         ap = self.active_pixels
         if ap.shape[0] != n_dense:
             self.identity_pixels = False
+        elif isinstance(ap, np.ndarray):
+            self.identity_pixels = bool(ap[0] == 0
+                                        and np.all(np.diff(ap) == 1))
         else:
-            # exact check, evaluated ON DEVICE (a host round-trip of the
+            # device array: check ON DEVICE (a host round-trip of the
             # 64M-index array costs seconds over thin-pipe transports)
             self.identity_pixels = bool(jnp.all(jnp.diff(ap) == 1)
                                         and ap[0] == 0)
+        if isinstance(ap, np.ndarray) and not self.identity_pixels:
+            # non-identity sparse maps are gathered per render: keep
+            # them device-resident instead of re-uploading per call
+            self.active_pixels = jnp.asarray(ap)
         # parallel.shard.shard_ballistic_engine replaces this with an
         # angle-sharded mesh implementation
         self._sharded_bp = None
@@ -123,8 +139,13 @@ class BallisticEngine:
         fields as closure constants — W/Umap are O(angles x film^2) and
         constant-folding them bloats the compiled executable (and
         overflows payload-limited remote-compile services)."""
+        ap = self.active_pixels
+        if self.identity_pixels:
+            # dense identity store: the index map is never gathered;
+            # don't ship 64M indices through every dispatch
+            ap = jnp.zeros((0,), jnp.int32)
         p = {"W": self.W, "Umap": self.Umap, "Sz": self.Sz,
-             "scalar": self.scalar, "active_pixels": self.active_pixels}
+             "scalar": self.scalar, "active_pixels": ap}
         if self.surface_aware:
             p["mask"] = self.mask
         return p

@@ -299,6 +299,10 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
     n_valid: lanes with id >= n_valid are padding and stay inactive.
     """
     primal = dL_flat is None
+    # numpy (or custom_vjp-wrapped) leaves -> device arrays: scene dicts
+    # are built host-side (models/scene.py) and must be usable both as
+    # jit arguments and eagerly
+    arr = {k: jnp.asarray(v) for k, v in arr.items()}
     n = lane.shape[0]
     sampler = Sampler(seed)
     ctr = sampler.init(n)

@@ -151,6 +151,7 @@ def render_radon(static: MarchStatic, arr, seed=0, spp=4, chunk=None):
     absorption, scattered to the dense (n_patterns*resy*resx,) image
     array (integrators/radon.py:41-44). Used for `filter_radon` culling."""
     assert static.mode == "radon"
+    arr = {k: jnp.asarray(v) for k, v in arr.items()}
     if chunk is None:
         chunk = default_chunk()
     seed = jnp.asarray(seed, jnp.uint32)

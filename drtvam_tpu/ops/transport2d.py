@@ -83,6 +83,7 @@ def build_transport(static: MarchStatic, arr, supersample: int = 1):
     NOT folded — ops/backproject.py applies them to keep render_raw's
     unnormalized-accumulator contract.
     """
+    arr = {k: jnp.asarray(v) for k, v in arr.items()}
     p = static.projector
     A, U = p.n_patterns, p.resx
     X, Y, _ = static.sensor.res
