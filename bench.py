@@ -8,12 +8,17 @@ Prints ONE JSON line:
 vs_baseline = L40S wall-clock for the same workload class (cylindrical
 1 rpp: 23 s, README.md:131) / ours (> 1 == faster than the L40S).
 
-The timed value = one-time geometry transport precompute (steady
-state, compile-cached) + the full 40-iteration optimization loop
-(primal render + loss + adjoint + L-BFGS direction render + line
-search + clamp). jit compilation is excluded via warm-up, mirroring
-how the reference's numbers amortize Dr.Jit's kernel cache; a
-persistent compilation cache under .jax_cache makes reruns cheap.
+The timed value covers the full user-visible pipeline minus jit
+compilation: scene assembly + target voxelization (native host
+voxelizer), the geometry transport precompute (native host rasterizer
++ one device upload), and the entire 40-iteration optimization —
+which runs as ONE on-device dispatch (opt/device_lbfgs.py): primal
+render, adjoint, L-BFGS direction render, Armijo line search, clamp,
+convergence break, all inside a single jitted while_loop. jit compile
+is excluded via warm-up, mirroring how the reference's numbers
+amortize Dr.Jit's kernel cache; a persistent compilation cache under
+.jax_cache makes reruns cheap. Every phase is printed so nothing
+hides: there are no other costs before the first iteration.
 """
 import json
 import os
@@ -66,101 +71,119 @@ def build_scene():
 
 def main():
     from drtvam_tpu.opt.loss import ThresholdedLoss
-    from drtvam_tpu.opt.lbfgs import LinearLBFGS
+    from drtvam_tpu.opt.device_lbfgs import fused_linear_lbfgs
     from drtvam_tpu.ops.ballistic import BallisticEngine
 
+    def phase(msg, t0):
+        dt = time.time() - t0
+        print(f"# {msg}: {dt:.2f}s", file=sys.stderr)
+        return dt
+
+    # backend/tunnel handshake: process startup, not workload (the
+    # reference numbers likewise exclude CUDA context creation)
+    t_all = time.time()
+    t0 = time.time()
+    jax.block_until_ready(jnp.zeros(()))
+    phase("backend init (excluded)", t0)
+
+    # ---- phase 1: scene assembly + target voxelization (host) ----------
     t0 = time.time()
     scene = build_scene()
     static, arr = scene.build(mode="volume", include_target=False,
                               max_depth=6, rr_depth=6)
-    target = jnp.asarray(scene.sensor.discretize(scene.target_bank()))
+    target_np = np.asarray(scene.sensor.discretize(scene.target_bank()))
     inv_vol = jnp.float32(1.0 / scene.sensor.voxel_volume)
     loss_obj = ThresholdedLoss({"tl": 0.9, "tu": 0.95})
     n = scene.projector.active_size()
-    jax.block_until_ready(target)
-    print(f"# scene+discretize: {time.time() - t0:.1f}s; "
-          f"rays/render = {n}", file=sys.stderr)
+    t_scene = phase(f"scene+discretize (host), rays/render={n}", t0)
 
+    # ---- phase 2: transport precompute + device upload ------------------
     t0 = time.time()
     eng = BallisticEngine(static, arr)
-    jax.block_until_ready(eng.W)
-    print(f"# transport precompute (cold): {time.time() - t0:.1f}s",
-          file=sys.stderr)
-
-    # Big arrays (transport fields, target) ride as jit ARGUMENTS — as
-    # closure constants they are baked into the HLO, which bloats the
-    # executable and can exceed remote-compile payload limits.
+    target = jnp.asarray(target_np)
     ep = eng.params()
+    jax.block_until_ready((eng.W, target))
+    t_build = phase("transport precompute + upload (cold)", t0)
 
-    @jax.jit
-    def primal_j(data, ep, tgt):
-        vol = eng.render_vol(data, inv_vol, params=ep)
-        return vol, loss_obj(vol, tgt, data)
+    # ---- the fused on-device optimization ---------------------------------
+    def make_run(n_steps):
+        @jax.jit
+        def run(data0, ep, tgt):
+            def value_grad(p):
+                vol = eng.render_vol(p, inv_vol, params=ep)
+                loss = loss_obj(vol, tgt, p)
+                dvol, dpat = jax.grad(
+                    lambda v, q: loss_obj(v, tgt, q),
+                    argnums=(0, 1))(vol, p)
+                grad = eng.pattern_grad(dvol, inv_vol, params=ep) + dpat
+                return vol, loss, grad
 
-    @jax.jit
-    def adjoint_j(vol, data, ep, tgt):
-        dvol, dpat = jax.grad(
-            lambda v, p: loss_obj(v, tgt, p), argnums=(0, 1))(vol, data)
-        return eng.pattern_grad(dvol, inv_vol, params=ep) + dpat
+            def dir_render(z):
+                return eng.render_vol(z, inv_vol, params=ep)
 
-    @jax.jit
-    def dir_render_j(data, ep):
-        return eng.render_vol(data, inv_vol, params=ep)
+            def cand(vol, dvol, alpha, z):
+                return loss_obj(vol + alpha * dvol, tgt, z)
 
-    @jax.jit
-    def ls_loss_j(vol, pats, tgt):
-        return loss_obj(vol, tgt, pats)
+            return fused_linear_lbfgs(value_grad, dir_render, cand,
+                                      data0, n_steps)
+        return run
 
-    @jax.jit
-    def ls_cand_j(vol, dvol, alpha, pats, tgt):
-        return loss_obj(vol + alpha * dvol, tgt, pats)
-
-    primal = lambda data: primal_j(data, ep, target)
-    adjoint = lambda vol, data: adjoint_j(vol, data, ep, target)
-    dir_render = lambda data: dir_render_j(data, ep)
-    ls_loss = lambda vol, pats: ls_loss_j(vol, pats, target)
-    ls_cand = lambda vol, dvol, a, z: ls_cand_j(vol, dvol,
-                                                jnp.float32(a), z, target)
-
-    def loop(n_steps):
-        opt = LinearLBFGS(
-            render_fn=lambda z: jax.block_until_ready(dir_render(z)),
-            loss_fn=ls_loss, candidate_fn=ls_cand)
-        data = jnp.ones((n,), jnp.float32)
-        losses = []
-        for _ in range(n_steps):
-            vol, loss = jax.block_until_ready(primal(data))
-            grad = jax.block_until_ready(adjoint(vol, data))
-            losses.append(float(loss))
-            if losses[-1] == 0.0:
-                break
-            data = opt.step(data, grad, vol, loss)
-            data = jax.block_until_ready(jnp.maximum(data, 0.0))
-        return losses
+    run = make_run(N_STEPS)
+    data0 = jnp.ones((n,), jnp.float32)
 
     t0 = time.time()
-    loop(2)
-    print(f"# warmup (jit compile): {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    out = jax.block_until_ready(run(data0, ep, target))
+    t_warm = phase("warmup (jit compile + first fused run)", t0)
 
-    # steady-state geometry precompute (compile-cached)
+    # ---- steady state: geometry precompute + fused 40-iter loop ---------
     t0 = time.time()
     eng2 = BallisticEngine(static, arr)
+    ep2 = eng2.params()
     jax.block_until_ready(eng2.W)
-    t_build = time.time() - t0
+    t_build2 = phase("transport precompute + upload (steady)", t0)
 
     t0 = time.time()
-    losses = loop(N_STEPS)
-    t_loop = time.time() - t0
-    wall = t_build + t_loop
-    print(f"# precompute {t_build:.2f}s + {len(losses)}-iter loop "
-          f"{t_loop:.2f}s; loss {losses[0]:.3e} -> {losses[-1]:.3e}",
+    p_fin, loss_hist, n_done = jax.block_until_ready(
+        run(data0, ep2, target))
+    t_loop = phase(f"fused {int(n_done)}-iter loop (one dispatch)", t0)
+    loss_hist = np.asarray(loss_hist)
+    print(f"# loss {loss_hist[0]:.3e} -> {loss_hist[int(n_done) - 1]:.3e}",
           file=sys.stderr)
+
+    # quality guard (untimed): best thresholded IoU of the final dose,
+    # the reference's print-quality metric (utils.py:48-81); full-size
+    # runs must reach ~0.98+ or the speed number is meaningless
+    @jax.jit
+    def best_iou(p, ep, tgt):
+        vol = eng.render_vol(p, inv_vol, params=ep)[..., 0]
+        t = tgt[..., 0] > 0.5
+        vmax = jnp.maximum(jnp.max(vol), 1e-30)
+
+        def one(thr):
+            pred = vol > thr * vmax
+            inter = jnp.sum(pred & t)
+            union = jnp.sum(pred | t)
+            return inter / jnp.maximum(union, 1)
+
+        thrs = jnp.linspace(0.0, 1.0, 101)
+        ious = jax.lax.map(one, thrs)
+        return jnp.max(ious)
+
+    iou_v = float(best_iou(p_fin, ep2, target))
+    print(f"# best IoU: {iou_v:.4f}", file=sys.stderr)
+
+    wall = t_scene + t_build2 + t_loop
+    print(f"# headline = scene {t_scene:.2f} + precompute {t_build2:.2f} "
+          f"+ loop {t_loop:.2f} = {wall:.2f}s (compile excluded, "
+          f"{t_warm:.1f}s once per cache)", file=sys.stderr)
+    print(f"# first-run total incl. backend init + jit compile: "
+          f"{time.time() - t_all:.1f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"benchy-class cylindrical {N_ANGLES} angles "
                   f"{DMD}x{DMD} DMD 1rpp {FILM}^3 film "
-                  f"{N_STEPS}-iter LinearLBFGS wall-clock (1 TPU chip)",
+                  f"{N_STEPS}-iter LinearLBFGS wall-clock incl. scene "
+                  f"prep (1 TPU chip)",
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(L40S_BASELINE_S / wall, 3),

@@ -119,20 +119,26 @@ class Projector:
                                  "resolution.")
             self.crop = (cropx, cropy)
             self.crop_offset = (ox, oy)
-            # flat indices of the cropped window, tiled over patterns
-            ci = np.arange(cropx * cropy, dtype=np.int64)
-            crow, ccol = ci // cropx, ci % cropx
-            pix = (oy + crow) * self.resx + ccol + ox
-            pat_idx = np.repeat(np.arange(self.n_patterns, dtype=np.int64),
-                                cropx * cropy)
-            flat = pat_idx * (self.resx * self.resy) + np.tile(
-                pix, self.n_patterns)
-            self.active_pixels = flat.astype(np.int32)
-            self.active_data = np.zeros((flat.size,), np.float32)
             # every pixel of every pattern active, in order: the sparse
             # store is the identity map (fast paths skip the scatter)
             self.dense_identity = (cropx == self.resx and
                                    cropy == self.resy)
+            if self.dense_identity:
+                # identity map: a plain arange, no index arithmetic
+                # (building 64M-entry int64 products costs tens of
+                # seconds of first-touch allocation on small hosts)
+                flat = np.arange(self.n_patterns * self.resx * self.resy,
+                                 dtype=np.int32)
+            else:
+                # flat indices of the cropped window, tiled per pattern
+                ci = np.arange(cropx * cropy, dtype=np.int32)
+                crow, ccol = ci // cropx, ci % cropx
+                pix = (oy + crow) * self.resx + ccol + ox
+                stride = np.int32(self.resx * self.resy)
+                flat = (pix[None, :] + stride * np.arange(
+                    self.n_patterns, dtype=np.int32)[:, None]).reshape(-1)
+            self.active_pixels = flat
+            self.active_data = np.zeros((flat.size,), np.float32)
 
         # projection-model parameters
         ps = props.get("pixel_size")

@@ -19,62 +19,132 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "transport2d.cpp")
-_LIB = os.path.join(_HERE, "libtransport2d.so")
 _lock = threading.Lock()
-_lib = None
-_lib_failed = False
+_libs = {}
+
+_F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
-def _compile():
-    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", _LIB]
+def _compile(src, lib_path):
+    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o",
+           lib_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         try:  # without OpenMP (single-threaded fallback)
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", _SRC,
-                            "-o", _LIB], check=True, capture_output=True,
-                           timeout=120)
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", src,
+                            "-o", lib_path], check=True,
+                           capture_output=True, timeout=120)
             return True
         except Exception:
             return False
 
 
-def _load():
-    global _lib, _lib_failed
+def _load_lib(name, setup):
+    """Compile-on-demand loader; returns the ctypes lib or None."""
     with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _compile():
-                _lib_failed = True
+        if name in _libs:
+            return _libs[name]
+        src = os.path.join(_HERE, name + ".cpp")
+        lib_path = os.path.join(_HERE, "lib" + name + ".so")
+        lib = None
+        if not os.path.exists(lib_path) or \
+                os.path.getmtime(lib_path) < os.path.getmtime(src):
+            if not _compile(src, lib_path):
+                _libs[name] = None
                 return None
         try:
-            lib = ctypes.CDLL(_LIB)
+            lib = ctypes.CDLL(lib_path)
+            setup(lib)
         except OSError:
-            _lib_failed = True
-            return None
-        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        lib.rasterize_fan.argtypes = [
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
-            i32p, i32p, i32p, f32p, f32p, ctypes.c_int,
-            ctypes.c_float, ctypes.c_float, ctypes.c_int,
-            ctypes.c_float, ctypes.c_float,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            f32p, f32p,
-        ]
-        lib.rasterize_fan.restype = None
-        lib.transport2d_num_threads.restype = ctypes.c_int
-        _lib = lib
-        return _lib
+            lib = None
+        _libs[name] = lib
+        return lib
+
+
+def _setup_transport2d(lib):
+    lib.rasterize_fan.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        _I32P, _I32P, _I32P, _F32P, _F32P, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        _F32P, _F32P,
+    ]
+    lib.rasterize_fan.restype = None
+    lib.transport2d_num_threads.restype = ctypes.c_int
+
+
+def _setup_mesh_accel(lib):
+    lib.voxelize_mesh.argtypes = [
+        _F32P, _F32P, _F32P, ctypes.c_int, _F32P, _F32P,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, _F32P,
+    ]
+    lib.voxelize_mesh.restype = None
+    lib.mesh_column_crossings.argtypes = [
+        _F32P, _F32P, _F32P, ctypes.c_int, _F32P, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, _F32P,
+    ]
+    lib.mesh_column_crossings.restype = None
+
+
+def _load():
+    return _load_lib("transport2d", _setup_transport2d)
 
 
 def available():
     return _load() is not None
+
+
+def mesh_accel_available():
+    return _load_lib("mesh_accel", _setup_mesh_accel) is not None
+
+
+def _as_f32(a):
+    return np.ascontiguousarray(np.asarray(a, np.float32))
+
+
+def voxelize_mesh_native(tri_bank, bbox_min, bbox_max, res, mode,
+                         oversample=4):
+    """XY-grid-accelerated column voxelization (libmesh_accel).
+
+    mode 0: binary occupancy by voxel-center parity; mode 1: per-voxel
+    inside fraction (oversample^2 stratified xy columns). Returns a
+    numpy (Z, Y, X) float32 array, or None if the library is
+    unavailable. Semantics match ops/voxelize.py.
+    """
+    lib = _load_lib("mesh_accel", _setup_mesh_accel)
+    if lib is None:
+        return None
+    v0, e1, e2 = (_as_f32(tri_bank[0]), _as_f32(tri_bank[1]),
+                  _as_f32(tri_bank[2]))
+    X, Y, Z = res
+    out = np.zeros((Z, Y, X), np.float32)
+    lib.voxelize_mesh(v0, e1, e2, v0.shape[0], _as_f32(bbox_min),
+                      _as_f32(bbox_max), X, Y, Z, int(mode),
+                      int(oversample), out)
+    return out
+
+
+def mesh_column_crossings_native(tri_bank, xy, z_start, max_k=64):
+    """Sorted +z crossing depths per query column, +inf padded.
+
+    Returns numpy (n_cols, max_k), or None if unavailable.
+    """
+    lib = _load_lib("mesh_accel", _setup_mesh_accel)
+    if lib is None:
+        return None
+    v0, e1, e2 = (_as_f32(tri_bank[0]), _as_f32(tri_bank[1]),
+                  _as_f32(tri_bank[2]))
+    xy = _as_f32(xy)
+    out = np.full((xy.shape[0], max_k), np.inf, np.float32)
+    lib.mesh_column_crossings(v0, e1, e2, v0.shape[0], xy, xy.shape[0],
+                              np.float32(z_start), int(max_k), out)
+    return out
 
 
 def build_transport_native(static, arr, supersample=1):

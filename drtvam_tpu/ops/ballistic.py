@@ -72,11 +72,25 @@ class BallisticEngine:
         else:
             self.mask = None
         static2, arr2 = strip_target(static, arr)
-        # transport precompute: native C++ rasterizer (OpenMP host, the
-        # Mitsuba-scene-build analog) when buildable, else the jitted
-        # device path — identical math, tested equivalent
+        # transport precompute: two equivalent paths (identical math,
+        # tested equivalent). On an accelerator the jitted device build
+        # wins: warm execution is ~instant and the (A, Y, X) fields are
+        # born on device — no 100s-of-MB host->device upload. On CPU
+        # the native C++ rasterizer (OpenMP host, the Mitsuba-scene-
+        # build analog) avoids the jit compile entirely.
+        # DRTVAM_NATIVE_TRANSPORT: auto (default) | 1 force native |
+        # 0 force device.
+        choice = os.environ.get("DRTVAM_NATIVE_TRANSPORT", "auto")
+        if choice == "auto":
+            try:
+                on_cpu = jax.devices()[0].platform == "cpu"
+            except Exception:
+                on_cpu = True
+            use_native = on_cpu
+        else:
+            use_native = choice != "0"
         native = None
-        if os.environ.get("DRTVAM_NATIVE_TRANSPORT", "1") != "0":
+        if use_native:
             from ..native import build_transport_native
             native = build_transport_native(static2, arr2, supersample)
         if native is not None:
@@ -94,7 +108,9 @@ class BallisticEngine:
             W, UW = _build_transport(static2, arr2, supersample)
             self.W = W
             self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
-        self.Sz = jnp.asarray(build_z_resample(static, arr))
+        Szn = np.asarray(build_z_resample(static, arr))
+        self.Sz = jnp.asarray(Szn)
+        self._build_z_taps(Szn)
         p = static.projector
         # ray weight: pixel_area * print_time, spp=1 (projector.py:184-188
         # + common.py:111); the dose stays "raw" — inv_vol applied by the
@@ -130,6 +146,60 @@ class BallisticEngine:
         # angle-sharded mesh implementation
         self._sharded_bp = None
 
+    # -- z-resample as K-tap gathers ---------------------------------------
+
+    _MAX_TAPS = 4
+
+    def _build_z_taps(self, Szn):
+        """The (Zf, resy) binning matrix has <= ~3 nonzeros per row and
+        per column (a DMD row feeds the voxels its z-footprint overlaps,
+        build_z_resample). Contracting it densely costs
+        2*A*Zf*resy*U FLOPs per render — comparable to the
+        backprojection itself — so precompute fixed-K tap tables and
+        lower both directions to K weighted `take`s instead.
+        """
+        Z, R = Szn.shape
+        K = self._MAX_TAPS
+        if (np.count_nonzero(Szn, axis=1).max() > K or
+                np.count_nonzero(Szn, axis=0).max() > K):
+            self.z_taps = None
+            return
+        zt_i = np.zeros((Z, K), np.int32)
+        zt_w = np.zeros((Z, K), np.float32)
+        for z in range(Z):
+            nz = np.nonzero(Szn[z])[0]
+            zt_i[z, :nz.size] = nz
+            zt_w[z, :nz.size] = Szn[z, nz]
+        rt_i = np.zeros((R, K), np.int32)
+        rt_w = np.zeros((R, K), np.float32)
+        for r in range(R):
+            nz = np.nonzero(Szn[:, r])[0]
+            rt_i[r, :nz.size] = nz
+            rt_w[r, :nz.size] = Szn[nz, r]
+        self.z_taps = (jnp.asarray(zt_i), jnp.asarray(zt_w),
+                       jnp.asarray(rt_i), jnp.asarray(rt_w))
+
+    @staticmethod
+    def _tap_contract(x, idx, w):
+        """sum_k w[:, k] * x[:, idx[:, k], :] along the middle axis."""
+        out = None
+        for k in range(idx.shape[1]):
+            term = jnp.take(x, idx[:, k], axis=1) * w[None, :, k, None]
+            out = term if out is None else out + term
+        return out
+
+    def _resample_fwd(self, P, p):
+        """(A, resy, U) patterns -> (A, Zf, U), == einsum('zr,aru->azu')."""
+        if "zt_i" in p:
+            return self._tap_contract(P, p["zt_i"], p["zt_w"])
+        return jnp.einsum("zr,aru->azu", p["Sz"], P)
+
+    def _resample_bwd(self, Pz_bar, p):
+        """(A, Zf, U) -> (A, resy, U), == einsum('zr,azu->aru')."""
+        if "rt_i" in p:
+            return self._tap_contract(Pz_bar, p["rt_i"], p["rt_w"])
+        return jnp.einsum("zr,azu->aru", p["Sz"], Pz_bar)
+
     # -- differentiable forward -------------------------------------------
 
     def params(self):
@@ -144,8 +214,12 @@ class BallisticEngine:
             # dense identity store: the index map is never gathered;
             # don't ship 64M indices through every dispatch
             ap = jnp.zeros((0,), jnp.int32)
-        p = {"W": self.W, "Umap": self.Umap, "Sz": self.Sz,
+        p = {"W": self.W, "Umap": self.Umap,
              "scalar": self.scalar, "active_pixels": ap}
+        if self.z_taps is not None:
+            p["zt_i"], p["zt_w"], p["rt_i"], p["rt_w"] = self.z_taps
+        else:
+            p["Sz"] = self.Sz
         if self.surface_aware:
             p["mask"] = self.mask
         return p
@@ -163,7 +237,7 @@ class BallisticEngine:
         """(Z, Y, X, C) dose volume; differentiable w.r.t. active_data."""
         p = self.params() if params is None else params
         P = self.dense_patterns(active_data, p["active_pixels"])
-        Pz = jnp.einsum("zr,aru->azu", p["Sz"], P)
+        Pz = self._resample_fwd(P, p)
         if self._sharded_bp is not None:
             dose = self._sharded_bp(Pz, p["W"], p["Umap"])
         else:
@@ -197,7 +271,7 @@ class BallisticEngine:
             Pz_bar = self._sharded_bwd(dL)
         else:
             Pz_bar = get_impls(self.impl)[1](dL, p["W"], p["Umap"], U)
-        Pbar = jnp.einsum("zr,azu->aru", p["Sz"], Pz_bar)
+        Pbar = self._resample_bwd(Pz_bar, p)
         if self.identity_pixels:
             return Pbar.reshape(-1)
         return Pbar.reshape(-1)[p["active_pixels"]]

@@ -15,14 +15,28 @@ estimate with far fewer ray casts.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .intersect import ray_triangles
 
 MAX_CROSSINGS = 32
+
+
+def _native_voxelize(tri_bank, bbox_min, bbox_max, res, mode,
+                     oversample=4):
+    """Host C++ XY-grid voxelizer (native/mesh_accel.cpp) — the fast
+    path for large triangle banks and for keeping scene preprocessing
+    off the device. Returns None when the library can't build."""
+    if os.environ.get("DRTVAM_NATIVE_VOXELIZE", "1") == "0":
+        return None
+    from ..native import voxelize_mesh_native
+    return voxelize_mesh_native(tri_bank, bbox_min, bbox_max, res, mode,
+                                oversample)
 
 
 def _column_crossings(v0, e1, e2, xy, z_start, max_k=MAX_CROSSINGS):
@@ -55,6 +69,9 @@ def occupancy(tri_bank, bbox_min, bbox_max, res):
 
     res = (X, Y, Z); bbox_* world coords of the sensor volume.
     """
+    native = _native_voxelize(tri_bank, bbox_min, bbox_max, res, mode=0)
+    if native is not None:
+        return native[..., None]
     v0, e1, e2, _ = tri_bank
     X, Y, Z = res
     vs = (jnp.asarray(bbox_max) - jnp.asarray(bbox_min)) / \
@@ -80,6 +97,16 @@ def fractional_volumes(tri_bank, bbox_min, bbox_max, res, oversample=4):
     channel 1 = outside volume, summing to the voxel volume
     (sensor.py:105-107).
     """
+    native = _native_voxelize(tri_bank, bbox_min, bbox_max, res, mode=1,
+                              oversample=oversample)
+    if native is not None:
+        bmin = np.asarray(bbox_min, np.float32)
+        bmax = np.asarray(bbox_max, np.float32)
+        voxel_vol = np.prod((bmax - bmin) /
+                            np.asarray(res, np.float32))
+        inside = native * voxel_vol
+        outside = (1.0 - native) * voxel_vol
+        return np.stack([inside, outside], -1)
     v0, e1, e2, _ = tri_bank
     X, Y, Z = res
     bmin = jnp.asarray(bbox_min, jnp.float32)

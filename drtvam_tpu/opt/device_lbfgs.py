@@ -187,13 +187,23 @@ class DeviceLinearLBFGS:
 
     def __init__(self, dir_fn, cand_fn, m=5, search_it=20, c1=1e-4,
                  clamp=True):
+        """dir_fn(z, *step_args) -> dvol; cand_fn(vol, dvol, alpha, z,
+        *step_args) -> loss. Pass per-step device data (seed, engine
+        params, target) through step(..., step_args=...) rather than
+        closures — closure-captured device arrays are baked into the
+        compiled executable as constants."""
         self.m = m
         self.search_it = search_it
         self.c1 = c1
         self.clamp = clamp
+        self._state = None
+        self.rebind(dir_fn, cand_fn)
+
+    def rebind(self, dir_fn, cand_fn):
+        """Swap the render/loss closures (e.g. a progressive-schedule
+        integrator change) keeping the accumulated history state."""
         self._dir_fn = dir_fn
         self._cand_fn = cand_fn
-        self._state = None
         self._step_j = jax.jit(self._step_impl)
 
     def init_state(self, p0):
@@ -209,7 +219,7 @@ class DeviceLinearLBFGS:
             head=jnp.int32(0), nvalid=jnp.int32(0),
         )
 
-    def _step_impl(self, st, p, g, vol, loss, dir_args):
+    def _step_impl(self, st, p, g, vol, loss, step_args):
         m = self.m
         sv = p - st["p_old"]
         yv = g - st["g_old"]
@@ -226,9 +236,13 @@ class DeviceLinearLBFGS:
         nvalid = jnp.where(accept, jnp.minimum(nvalid + 1, m), nvalid)
 
         z = lbfgs_direction(g, S, Yh, ys, head, nvalid, m)
-        dvol = self._dir_fn(z, *dir_args)
+        dvol = self._dir_fn(z, *step_args)
         g_dot_z = jnp.dot(g, z)
-        alpha = armijo_search(self._cand_fn, vol, dvol, z, loss,
+
+        def cand(vol, dvol, alpha, zz):
+            return self._cand_fn(vol, dvol, alpha, zz, *step_args)
+
+        alpha = armijo_search(cand, vol, dvol, z, loss,
                               g_dot_z, self.search_it, self.c1)
         p_new = p + alpha * z
         if self.clamp:
@@ -237,13 +251,13 @@ class DeviceLinearLBFGS:
                          ys=ys, head=head, nvalid=nvalid)
         return p_new, alpha, new_state
 
-    def step(self, p, g, vol, loss, dir_args=()):
+    def step(self, p, g, vol, loss, step_args=()):
         """Returns updated (clamped) patterns; all-device, one dispatch."""
         if self._state is None or \
                 self._state["p_old"].shape != p.shape:
             self._state = self.init_state(p)
         p_new, alpha, self._state = self._step_j(
-            self._state, p, g, vol, loss, dir_args)
+            self._state, p, g, vol, loss, step_args)
         self.last_alpha = alpha
         return p_new
 

@@ -30,7 +30,7 @@ from ..models.scene import Scene
 from ..ops.render import (render, render_radon, render_corner, _adjoint,
                           default_chunk)
 from .loss import losses
-from .lbfgs import LinearLBFGS
+from .device_lbfgs import DeviceLinearLBFGS
 from ..utils.io import save_img, save_vol
 from ..utils.metrics import save_histogram
 
@@ -85,6 +85,11 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
                                                     inv_vol, target)
         dir_render = lambda data, seed: dir_render_j(data, seed, ep,
                                                      inv_vol)
+
+        def dir_fn(z, seed, ctx, iv, tgt):
+            return dir_render_j(z, seed, ctx, iv)
+
+        step_args = lambda seed: (seed, ep, inv_vol, target)
     else:
         @partial(jax.jit, static_argnames=())
         def primal_j(data, seed, arr_, iv, tgt):
@@ -116,6 +121,11 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
         dir_render = lambda data, seed: dir_render_j(data, seed, arr,
                                                      inv_vol)
 
+        def dir_fn(z, seed, ctx, iv, tgt):
+            return dir_render_j(z, seed, ctx, iv)
+
+        step_args = lambda seed: (seed, arr, inv_vol, target)
+
     @jax.jit
     def ls_loss_j(vol, pats, tgt):
         return loss_obj(vol, tgt, pats)
@@ -129,7 +139,15 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
     ls_cand = lambda vol, dvol, alpha, pats: ls_cand_j(
         vol, dvol, jnp.float32(alpha), pats, target)
 
-    return primal, adjoint, dir_render, ls_loss, ls_cand
+    def cand_fn(vol, dvol, alpha, z, seed, ctx, iv, tgt):
+        # the sparsity term rides on the SEARCH DIRECTION during the
+        # line search (reference quirk, lbfgs.py:239-246)
+        return loss_obj(vol + alpha * dvol, tgt, z)
+
+    return {"primal": primal, "adjoint": adjoint,
+            "dir_render": dir_render, "ls_loss": ls_loss,
+            "ls_cand": ls_cand, "dir_fn": dir_fn, "cand_fn": cand_fn,
+            "step_args": step_args}
 
 
 def optimize(config, patterns_fwd=None, resolve_path=None):
@@ -325,19 +343,16 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
             return _make_step_fns(static, arr, inv_vol, spp, spp_grad,
                                   chunk, loss_obj, target, engine, mask)
 
-        primal, adjoint, dir_render, ls_loss, ls_cand = build_fns(
-            3 if progressive else max_depth)
+        fns = build_fns(3 if progressive else max_depth)
 
-        seed_holder = {"v": 0}
         opt = None
         opt_state = None
         if optim_type == "lbfgs":
-            opt = LinearLBFGS(
-                render_fn=lambda z: _block(dir_render(
-                    z, jnp.uint32(seed_holder["v"]))),
-                loss_fn=lambda v, p: ls_loss(v, p),
-                candidate_fn=lambda v, dv, a, z: ls_cand(v, dv, a, z),
-                **opt_cfg)
+            # device-resident L-BFGS: history update + direction render
+            # + Armijo search run as ONE dispatch per iteration (the
+            # host LinearLBFGS costs ~25 blocking syncs per step)
+            opt = DeviceLinearLBFGS(dir_fn=fns["dir_fn"],
+                                    cand_fn=fns["cand_fn"], **opt_cfg)
         elif optim_type in ("adam", "sgd"):
             import optax
             lr = opt_cfg.pop("lr", 0.01 if optim_type == "adam" else 0.1)
@@ -374,39 +389,41 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
             if new_state is not None:
                 opt_state = new_state
             if progressive and start_step >= 5:
-                primal, adjoint, dir_render, ls_loss, ls_cand = \
-                    build_fns(max_depth)
+                fns = build_fns(max_depth)
+                if opt is not None:
+                    opt.rebind(fns["dir_fn"], fns["cand_fn"])
             print(f"Resuming from checkpoint at step {start_step}.")
 
         for i in trange(start_step, n_steps):
             if progressive and i == 5:
-                primal, adjoint, dir_render, ls_loss, ls_cand = \
-                    build_fns(max_depth)
-            seed_holder["v"] = i
+                fns = build_fns(max_depth)
+                if opt is not None:
+                    opt.rebind(fns["dir_fn"], fns["cand_fn"])
             seed = jnp.uint32(i)
 
             t0 = time_mod.perf_counter()
-            vol, loss = _block(primal(data, seed))
+            vol, loss = _block(fns["primal"](data, seed))
             timing_hist[i, 0] = time_mod.perf_counter() - t0
             loss_hist[i] = float(loss)
 
             t1 = time_mod.perf_counter()
-            grad = _block(adjoint(vol, data, seed))
+            grad = _block(fns["adjoint"](vol, data, seed))
 
-            if float(loss) == 0.0:
+            if loss_hist[i] == 0.0:
                 print("Converged")
                 timing_hist[i, 1] = time_mod.perf_counter() - t1
                 break
 
             if optim_type == "lbfgs":
-                data = opt.step(data, grad, vol, loss)
+                # one dispatch: direction + line search + clamp on device
+                data = _block(opt.step(data, grad, vol, loss,
+                                       step_args=fns["step_args"](seed)))
             else:
                 updates, opt_state = tx.update(grad, opt_state, data)
                 import optax
                 data = optax.apply_updates(data, updates)
-
-            # Clamp patterns >= 0 (optimize.py:320)
-            data = _block(jnp.maximum(data, 0.0))
+                # Clamp patterns >= 0 (optimize.py:320)
+                data = _block(jnp.maximum(data, 0.0))
             timing_hist[i, 1] = time_mod.perf_counter() - t1
 
             if checkpoint_every and ((i + 1) % checkpoint_every == 0
