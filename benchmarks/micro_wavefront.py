@@ -87,7 +87,7 @@ def main():
 
         dL = (vol * 1e-6).reshape(-1)
         bwd = jax.jit(lambda arr_, dL_: _adjoint(
-            static, arr_, jnp.uint32(0), args.spp, args.chunk, dL_))
+            static, arr_, jnp.uint32(0), args.spp, args.chunk, dL_)[0])
         jax.block_until_ready(bwd(arr, dL))
         t0 = time.perf_counter()
         for _ in range(args.reps):

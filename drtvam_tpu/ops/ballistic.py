@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .transport2d import build_transport, build_z_resample, \
     ballistic_eligible, strip_target
-from .backproject import backproject
+from .backproject import backproject, banded_eligible, band_span_ok
 from .march import MarchStatic
 
 __all__ = ["BallisticEngine", "ballistic_eligible"]
@@ -73,39 +73,55 @@ class BallisticEngine:
             self.mask = None
         static2, arr2 = strip_target(static, arr)
         # transport precompute: two equivalent paths (identical math,
-        # tested equivalent). On an accelerator the jitted device build
-        # wins: warm execution is ~instant and the (A, Y, X) fields are
-        # born on device — no 100s-of-MB host->device upload. On CPU
-        # the native C++ rasterizer (OpenMP host, the Mitsuba-scene-
-        # build analog) avoids the jit compile entirely.
-        # DRTVAM_NATIVE_TRANSPORT: auto (default) | 1 force native |
-        # 0 force device.
+        # tested equivalent). Preferred everywhere: the native C++
+        # rasterizer (OpenMP host, the Mitsuba-scene-build analog) — no
+        # jit compile, and its sequential DDA walks run at host speed
+        # where the jitted device builder pays ~10s of while-loop step
+        # latency. On accelerators the upload rides a quantized wire
+        # format (W bf16, u-map 1/64-DMD-pixel fixed point — both far
+        # below the reference's MC jitter noise floor) to halve the
+        # 100s-of-MB transfer; fields are decoded to f32 on device.
+        # DRTVAM_NATIVE_TRANSPORT: auto (default: native when
+        # buildable) | 1 force native | 0 force the device builder.
+        try:
+            on_cpu = jax.devices()[0].platform == "cpu"
+        except Exception:
+            on_cpu = True
         choice = os.environ.get("DRTVAM_NATIVE_TRANSPORT", "auto")
-        if choice == "auto":
-            try:
-                on_cpu = jax.devices()[0].platform == "cpu"
-            except Exception:
-                on_cpu = True
-            use_native = on_cpu
-        else:
-            use_native = choice != "0"
+        use_native = choice != "0"
         native = None
         if use_native:
             from ..native import build_transport_native
             native = build_transport_native(static2, arr2, supersample)
         if native is not None:
             # host numpy end-to-end: Umap derived on host, then ONE
-            # one-way upload of (W, Umap). No device round trips — over
-            # a network-attached TPU every sync costs tens of ms to
-            # seconds, which used to dominate engine construction.
+            # one-way upload. No device round trips — over a network-
+            # attached TPU every sync costs tens of ms to seconds.
             Wn, UWn = native
             with np.errstate(divide="ignore", invalid="ignore"):
                 Un = np.where(Wn > 0, UWn / np.maximum(Wn, 1e-30),
                               np.float32(-2.0)).astype(np.float32)
-            self.W = jnp.asarray(Wn)
-            self.Umap = jnp.asarray(Un)
+            if on_cpu or (static.projector.resx + 6) * 64 > 65535:
+                # full precision (CPU: no thin pipe; huge DMDs: u-map
+                # exceeds the u16 fixed-point range)
+                self.W = jnp.asarray(Wn)
+                self.Umap = jnp.asarray(Un)
+            else:
+                import ml_dtypes
+                Wq = Wn.astype(ml_dtypes.bfloat16)
+                Uq = np.round((Un + 4.0) * 64.0).clip(0, 65535) \
+                    .astype(np.uint16)
+                self.W = jnp.asarray(Wq).astype(jnp.float32)
+                self.Umap = jnp.asarray(Uq).astype(jnp.float32) / 64.0 \
+                    - 4.0
         else:
-            W, UW = _build_transport(static2, arr2, supersample)
+            # ship ONLY the fields the 2D trace reads: the full dict
+            # carries the 64M-entry pattern store, a ~0.5 GB upload per
+            # engine build the transport never touches
+            keys = ("surf_params", "surf_eta", "bbox_min", "bbox_max",
+                    "sigma_t", "albedo", "pixel_size", "motion_distance")
+            arr_small = {k: arr2[k] for k in keys}
+            W, UW = _build_transport(static2, arr_small, supersample)
             self.W = W
             self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
         Szn = np.asarray(build_z_resample(static, arr))
@@ -142,6 +158,16 @@ class BallisticEngine:
             # non-identity sparse maps are gathered per render: keep
             # them device-resident instead of re-uploading per call
             self.active_pixels = jnp.asarray(ap)
+        # banded kernels: 2x FLOPs/bandwidth when the film blocks into
+        # BY x BX tiles whose projected u-span fits the band (one
+        # scalar sync per scene to verify the data-dependent condition)
+        if self.impl in ("pallas", "pallas_bf16") and \
+                banded_eligible(self.W.shape, self.shape_dense[2]):
+            if bool(band_span_ok(self.W, self.Umap,
+                                 self.shape_dense[2])):
+                self.impl = ("pallas_band_bf16"
+                             if self.impl.endswith("bf16")
+                             else "pallas_band")
         # parallel.shard.shard_ballistic_engine replaces this with an
         # angle-sharded mesh implementation
         self._sharded_bp = None

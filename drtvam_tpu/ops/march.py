@@ -76,6 +76,15 @@ class MarchStatic:
     sample_time: bool
     clockwise: bool
     mode: str = "volume"      # 'volume' | 'radon'
+    # Accumulate medium-parameter cotangents (d loss / d sigma_t,
+    # d loss / d albedo) in the adjoint, mirroring the reference's
+    # st_grad/ss_grad accumulation (volume.py:277-280,
+    # sensor.py:180-186): analytic transmittance exp(-st*t_prev) and
+    # the scattering power ss^n_scat are re-expressed in the deposit
+    # with (st, ss) as differentiable leaves; free-flight sampling
+    # pdfs stay detached exactly like the reference. Off by default --
+    # it adds VPU work to every adjoint deposit.
+    medium_grads: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -141,9 +150,10 @@ def _deposit(primal, acc, g, dL, flat, val, mask):
 
 
 def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
-                A, em, inside_target, active):
+                A, em, inside_target, active, n_scat=None, sg=None):
     """Amanatides-Woo voxel walk with analytic per-voxel absorption
-    (reference sensor.py:306-440)."""
+    (reference sensor.py:306-440). sg: optional (stg, ssg) scalar
+    accumulators for medium-parameter cotangents (adjoint only)."""
     X, Y, Z = static.sensor.res
     bmin, bmax = arr["bbox_min"], arr["bbox_max"]
     vs = (bmax - bmin) / jnp.asarray([X, Y, Z], jnp.float32)
@@ -182,6 +192,12 @@ def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
     else:
         hist = A * jnp.exp(-st * t_prev)
     base = hist * sa_over_st * (em if primal else 1.0)
+    want_sigma = (not primal) and static.medium_grads and sg is not None
+    if want_sigma:
+        hist_em = hist * em
+        ss = arr["albedo"] * st
+        k = n_scat if (static.has_scattering and n_scat is not None) \
+            else None
 
     X_, Y_, Z_ = static.sensor.res
     C = static.sensor.channels
@@ -194,15 +210,32 @@ def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
         return jnp.any(act) & (i < max_steps)
 
     def body(carry):
-        i, act, voxel, dtmax, t, remaining, acc, g = carry
+        i, act, voxel, dtmax, t, remaining, acc, g, stg, ssg = carry
         dt = jnp.minimum(jnp.min(dtmax, -1), remaining)
         remaining = jnp.where(act, remaining - dt, remaining)
-        contrib = base * jnp.exp(-st * t) * \
-            (1.0 - jnp.exp(-st * jnp.maximum(dt, 0.0)))
+        E = jnp.exp(-st * t)
+        expdt = jnp.exp(-st * jnp.maximum(dt, 0.0))
+        G = 1.0 - expdt
+        contrib = base * E * G
         flat = voxel[..., 0] + X_ * (voxel[..., 1] + Y_ * voxel[..., 2])
         if C == 2:
             flat = 2 * flat + chan
         acc, g = _deposit(primal, acc, g, dL, flat, contrib, act)
+        if want_sigma:
+            # c(st, ss) = hist*em * (st-ss)/st * e^{-st(t_prev+t)} *
+            # (1 - e^{-st dt}); partials at the detached point
+            # (reference sensor.py:395-423)
+            gathered = jnp.where(act, dL[jnp.where(act, flat, 0)], 0.0)
+            HG = hist_em * E * G
+            c_full = HG * sa_over_st
+            dst = -c_full * (t_prev + t) + HG * (arr["albedo"] / st) + \
+                hist_em * E * sa_over_st * jnp.maximum(dt, 0.0) * expdt
+            dss = -HG / st
+            if k is not None:
+                dss = dss + jnp.where(ss > 0, c_full * k /
+                                      jnp.maximum(ss, 1e-30), 0.0)
+            stg = stg + jnp.sum(dst * gathered)
+            ssg = ssg + jnp.sum(dss * gathered)
 
         act = act & jnp.any(end_voxel != voxel, -1) & (remaining > 1e-6)
         mask = dtmax == dt[..., None]
@@ -211,16 +244,19 @@ def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
         voxel = jnp.where(act[..., None], voxel + upd, voxel)
         act = act & jnp.all(voxel >= 0, -1) & jnp.all(voxel < res, -1)
         t = jnp.where(act, t + dt, t)
-        return (i + 1, act, voxel, dtmax, t, remaining, acc, g)
+        return (i + 1, act, voxel, dtmax, t, remaining, acc, g, stg, ssg)
 
+    stg0, ssg0 = (sg if sg is not None
+                  else (jnp.float32(0.0), jnp.float32(0.0)))
     carry = (jnp.int32(0), active, start_voxel, dtmax, t_start,
-             t_end - t_start, acc, g)
+             t_end - t_start, acc, g, stg0, ssg0)
     carry = jax.lax.while_loop(cond, body, carry)
-    return carry[-2], carry[-1]
+    return carry[6], carry[7], (carry[8], carry[9])
 
 
 def ratio_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
-                  A, em, inside_target, active, sampler, lane, ctr):
+                  A, em, inside_target, active, sampler, lane, ctr,
+                  n_scat=None, sg=None):
     """Ratio-tracking estimator (reference sensor.py:205-295)."""
     st = arr["sigma_t"]
     sa_over_st = 1.0 - arr["albedo"]
@@ -236,32 +272,57 @@ def ratio_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
         hist = A * jnp.exp(-st * t_prev)
     base = hist * sa_over_st * (em if primal else 1.0) * (st / M)
     log_ratio = jnp.log(jnp.maximum(1.0 - st / M, 1e-30))
+    want_sigma = (not primal) and static.medium_grads and sg is not None
+    if want_sigma:
+        hist_em = hist * em
+        ss = arr["albedo"] * st
+        ksc = n_scat if (static.has_scattering and n_scat is not None) \
+            else None
 
     def cond(carry):
         i, act, *_ = carry
         return jnp.any(act) & (i < 65536)
 
     def body(carry):
-        i, act, t, k, ctr, acc, g = carry
+        i, act, t, k, ctr, acc, g, stg, ssg = carry
         u, ctr = sampler.next_1d(lane, ctr)
         t = jnp.where(act, t + sample_free_flight(u, M), t)
         act = act & (t < maxt)
         p = o + t[..., None] * d
         flat, in_grid = _voxel_flat(static, p, bmin, inv_vs, inside_target)
-        contrib = base * jnp.exp(k * log_ratio)
-        acc, g = _deposit(primal, acc, g, dL, flat, contrib, act & in_grid)
+        ratio_k = jnp.exp(k * log_ratio)
+        contrib = base * ratio_k
+        mask = act & in_grid
+        acc, g = _deposit(primal, acc, g, dL, flat, contrib, mask)
+        if want_sigma:
+            # c(st, ss) = hist*em * (st-ss) * (1-st/M)^k / M *
+            # e^{-st t_prev}; the st/st cancellation makes the pdf
+            # factor drop out (reference sensor.py:276-291)
+            gathered = jnp.where(mask, dL[jnp.where(mask, flat, 0)], 0.0)
+            H4 = hist_em * ratio_k / M
+            c_full = contrib * em
+            dst = -c_full * t_prev - \
+                c_full * k / jnp.maximum(M - st, 1e-30) + H4
+            dss = -H4
+            if ksc is not None:
+                dss = dss + jnp.where(ss > 0, c_full * ksc /
+                                      jnp.maximum(ss, 1e-30), 0.0)
+            stg = stg + jnp.sum(dst * gathered)
+            ssg = ssg + jnp.sum(dss * gathered)
         k = jnp.where(act, k + 1.0, k)
-        return (i + 1, act, t, k, ctr, acc, g)
+        return (i + 1, act, t, k, ctr, acc, g, stg, ssg)
 
     n = o.shape[0]
+    stg0, ssg0 = (sg if sg is not None
+                  else (jnp.float32(0.0), jnp.float32(0.0)))
     carry = (jnp.int32(0), active, jnp.zeros((n,), jnp.float32),
-             jnp.zeros((n,), jnp.float32), ctr, acc, g)
+             jnp.zeros((n,), jnp.float32), ctr, acc, g, stg0, ssg0)
     carry = jax.lax.while_loop(cond, body, carry)
-    return carry[-2], carry[-1], carry[4]
+    return carry[5], carry[6], carry[4], (carry[7], carry[8])
 
 
 def delta_segment(static, arr, primal, acc, g, dL, o, d, t_prev, mei_t,
-                  A, em, inside_target, active):
+                  A, em, inside_target, active, n_scat=None, sg=None):
     """Delta-tracking deposit at the sampled interaction point
     (reference sensor.py:121-191). Importance-sampled transmittance
     cancels: contribution = A * (sa/st) * em."""
@@ -280,7 +341,28 @@ def delta_segment(static, arr, primal, acc, g, dL, o, d, t_prev, mei_t,
     else:
         hist = A * jnp.exp(-st * t_prev)
     contrib = hist * sa_over_st * (em if primal else 1.0)
-    return _deposit(primal, acc, g, dL, flat, contrib, act & in_grid)
+    mask = act & in_grid
+    acc, g = _deposit(primal, acc, g, dL, flat, contrib, mask)
+    if (not primal) and static.medium_grads and sg is not None:
+        # c(st, ss) = hist*em * (st-ss) * e^{-st(t_prev+t_m)} /
+        # detach(e^{-st t_m} st): tr attached, inv_pdf detached
+        # (reference sensor.py:169-186)
+        gathered = jnp.where(mask, dL[jnp.where(mask, flat, 0)], 0.0)
+        hist_em = hist * em
+        ss = arr["albedo"] * st
+        c_full = contrib * em if primal else hist_em * sa_over_st
+        H3 = hist_em / st
+        t_m = jnp.where(jnp.isfinite(mei_t), mei_t, 0.0)
+        dst = -c_full * (t_prev + t_m) + H3
+        dss = -H3
+        if static.has_scattering and n_scat is not None:
+            dss = dss + jnp.where(ss > 0, c_full * n_scat /
+                                  jnp.maximum(ss, 1e-30), 0.0)
+        stg, ssg = sg
+        sg = (stg + jnp.sum(dst * gathered),
+              ssg + jnp.sum(dss * gathered))
+    return acc, g, sg if sg is not None else (jnp.float32(0.0),
+                                              jnp.float32(0.0))
 
 
 # --------------------------------------------------------------------------
@@ -291,9 +373,12 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
                     dL_flat=None, acc=None, n_valid=None):
     """Trace one wavefront chunk.
 
-    Returns (acc, g, L_radon):
+    Returns (acc, g, L_radon, (stg, ssg)):
       primal 'volume':  acc = flat dose accumulator (updated)
-      adjoint 'volume': g = per-lane emitter gradient (excludes em)
+      adjoint 'volume': g = per-lane emitter gradient (excludes em);
+                        (stg, ssg) = summed (d loss/d sigma_t_leaf,
+                        d loss/d sigma_s_leaf) when
+                        static.medium_grads (else zeros)
       'radon':          L_radon = per-lane accumulated in-target absorption
 
     n_valid: lanes with id >= n_valid are padding and stay inactive.
@@ -327,6 +412,7 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         acc = jnp.zeros((static.sensor.n_cells,), jnp.float32)
     g = jnp.zeros((n,), jnp.float32)
     L_rad = jnp.zeros((n,), jnp.float32)
+    sg0 = (jnp.float32(0.0), jnp.float32(0.0))
 
     active0 = jnp.ones((n,), jnp.bool_) if n_valid is None \
         else (lane < jnp.uint32(n_valid))
@@ -340,6 +426,7 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         depth=jnp.zeros((n,), jnp.int32),
         active=active0,
         ctr=ctr, acc=acc, g=g, L=L_rad, it=jnp.int32(0),
+        stg=sg0[0], ssg=sg0[1],
     )
 
     max_iters = 2 * static.max_depth + 16
@@ -353,6 +440,7 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         inside_target, depth = s["inside_target"], s["depth"]
         total_t, n_scat, ctr = s["total_t"], s["n_scat"], s["ctr"]
         acc, g, L = s["acc"], s["g"], s["L"]
+        sg = (s["stg"], s["ssg"])
 
         # Russian roulette (volume.py:181-184). The reference computes the
         # survival probability from `attenuation` which there includes the
@@ -399,18 +487,21 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
             L = L + jnp.where(inside_target & in_medium & active,
                               contrib, 0.0)
         elif static.sensor.estimator == "dda":
-            acc, g = dda_segment(static, arr, primal, acc, g, dL_flat,
-                                 o, d, total_t, t_si, A, em,
-                                 inside_target, dep_active)
+            acc, g, sg = dda_segment(static, arr, primal, acc, g,
+                                     dL_flat, o, d, total_t, t_si, A,
+                                     em, inside_target, dep_active,
+                                     n_scat=n_scat, sg=sg)
         elif static.sensor.estimator == "ratio":
-            acc, g, ctr = ratio_segment(static, arr, primal, acc, g,
-                                        dL_flat, o, d, total_t, t_si, A,
-                                        em, inside_target, dep_active,
-                                        sampler, lane, ctr)
+            acc, g, ctr, sg = ratio_segment(static, arr, primal, acc, g,
+                                            dL_flat, o, d, total_t,
+                                            t_si, A, em, inside_target,
+                                            dep_active, sampler, lane,
+                                            ctr, n_scat=n_scat, sg=sg)
         else:  # delta
-            acc, g = delta_segment(static, arr, primal, acc, g, dL_flat,
-                                   o, d, total_t, mei_t, A, em,
-                                   inside_target, dep_active)
+            acc, g, sg = delta_segment(static, arr, primal, acc, g,
+                                       dL_flat, o, d, total_t, mei_t, A,
+                                       em, inside_target, dep_active,
+                                       n_scat=n_scat, sg=sg)
 
         # inside/outside parity flip (volume.py:219 — may leak)
         inside_target = (~inside_target & hit_target) | \
@@ -488,7 +579,8 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         return dict(o=o, d=d, A=A, total_t=total_t, n_scat=n_scat,
                     inside_target=inside_target, in_medium=in_medium,
                     depth=depth, active=active, ctr=ctr, acc=acc, g=g,
-                    L=L, it=s["it"] + 1)
+                    L=L, it=s["it"] + 1, stg=sg[0], ssg=sg[1])
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["acc"], state["g"], state["L"]
+    return (state["acc"], state["g"], state["L"],
+            (state["stg"], state["ssg"]))

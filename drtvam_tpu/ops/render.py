@@ -66,8 +66,8 @@ def _forward(static: MarchStatic, arr, active_data, seed, spp, chunk):
 
     def body(i, acc):
         lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
-        acc, _, _ = trace_wavefront(static, arr2, lane, seed, spp,
-                                    acc=acc, n_valid=n_lanes)
+        acc, _, _, _ = trace_wavefront(static, arr2, lane, seed, spp,
+                                       acc=acc, n_valid=n_lanes)
         return acc
 
     if n_chunks == 1:
@@ -75,29 +75,39 @@ def _forward(static: MarchStatic, arr, active_data, seed, spp, chunk):
     return jax.lax.fori_loop(0, n_chunks, body, acc0)
 
 
-def _adjoint(static: MarchStatic, arr, seed, spp, chunk, dL_flat):
+def _adjoint(static: MarchStatic, arr, seed, spp, chunk, dL_flat,
+             active_data=None):
     n_active = static.projector.n_active
     n_lanes = n_active * spp
     chunk, n_chunks = _chunking(n_lanes, chunk)
     arr2 = dict(arr)
-    # em never contributes to adjoint deposits (march.py uses 1 in place
-    # of em when primal=False) — zeros keep the trace identical.
-    arr2["active_data"] = jnp.zeros((n_active,), jnp.float32)
+    # em never contributes to adjoint PATTERN deposits (march.py uses 1
+    # in place of em when primal=False), but the medium cotangents need
+    # the real emitted intensities (reference sensor.py contrib has em
+    # detached-but-present). Zeros keep the trace identical otherwise.
+    if active_data is None or not static.medium_grads:
+        arr2["active_data"] = jnp.zeros((n_active,), jnp.float32)
+    else:
+        w0 = ray_weight(static.projector, arr, spp, arr["print_time"])
+        arr2["active_data"] = active_data * 1.0
     lane_base = jnp.arange(chunk, dtype=jnp.uint32)
     pg0 = jnp.zeros((n_active,), jnp.float32)
+    sg0 = (jnp.float32(0.0), jnp.float32(0.0))
 
-    def body(i, pg):
+    def body(i, carry):
+        pg, stg, ssg = carry
         lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
-        _, g, _ = trace_wavefront(static, arr2, lane, seed, spp,
-                                  dL_flat=dL_flat, n_valid=n_lanes)
+        _, g, _, sg = trace_wavefront(static, arr2, lane, seed, spp,
+                                      dL_flat=dL_flat, n_valid=n_lanes)
         aidx = jnp.minimum(lane // jnp.uint32(spp),
                            jnp.uint32(n_active - 1)).astype(jnp.int32)
-        return pg.at[aidx].add(g)
+        return (pg.at[aidx].add(g), stg + sg[0], ssg + sg[1])
 
-    pg = body(0, pg0) if n_chunks == 1 else \
-        jax.lax.fori_loop(0, n_chunks, body, pg0)
+    carry = body(0, (pg0,) + sg0) if n_chunks == 1 else \
+        jax.lax.fori_loop(0, n_chunks, body, (pg0,) + sg0)
+    pg, stg, ssg = carry
     w = ray_weight(static.projector, arr, spp, arr["print_time"])
-    return pg * w
+    return pg * w, stg, ssg
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
@@ -111,7 +121,7 @@ def render_raw(static: MarchStatic, arr, active_data, seed, spp,
 
 def _render_raw_fwd(static, arr, active_data, seed, spp, spp_grad, chunk):
     acc = _forward(static, arr, active_data, seed, spp, chunk)
-    return acc, (arr, seed)
+    return acc, (arr, active_data, seed)
 
 
 def _zero_ct(x):
@@ -122,9 +132,18 @@ def _zero_ct(x):
 
 
 def _render_raw_bwd(static, spp, spp_grad, chunk, res, ct):
-    arr, seed = res
-    pg = _adjoint(static, arr, seed, spp_grad, chunk, ct)
+    arr, active_data, seed = res
+    pg, stg, ssg = _adjoint(static, arr, seed, spp_grad, chunk, ct,
+                            active_data=active_data)
     arr_ct = {k: _zero_ct(v) for k, v in arr.items()}
+    if static.medium_grads:
+        # the march accumulates partials w.r.t. the (sigma_t, sigma_s)
+        # leaves; our medium is parameterized (sigma_t, albedo) with
+        # sigma_s = albedo * sigma_t — chain rule:
+        albedo = jnp.asarray(arr["albedo"], jnp.float32)
+        sigma_t = jnp.asarray(arr["sigma_t"], jnp.float32)
+        arr_ct["sigma_t"] = (stg + albedo * ssg).astype(jnp.float32)
+        arr_ct["albedo"] = (sigma_t * ssg).astype(jnp.float32)
     seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)
     return (arr_ct, pg, seed_ct)
 
@@ -167,8 +186,8 @@ def render_radon(static: MarchStatic, arr, seed=0, spp=4, chunk=None):
 
     def body(i, img):
         lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
-        _, _, L = trace_wavefront(static, arr2, lane, seed, spp,
-                                  n_valid=n_lanes)
+        _, _, L, _ = trace_wavefront(static, arr2, lane, seed, spp,
+                                     n_valid=n_lanes)
         aidx = jnp.minimum(lane // jnp.uint32(spp),
                            jnp.uint32(p.n_active - 1)).astype(jnp.int32)
         pix = arr["active_pixels"][aidx]

@@ -106,7 +106,8 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
             # δL into the raw accumulator = upstream * inv_vol
             # (volume.py:130)
             dL_flat = (dvol * iv).reshape(-1)
-            pg = _adjoint(static, arr_, seed, spp_grad, chunk, dL_flat)
+            pg, _, _ = _adjoint(static, arr_, seed, spp_grad, chunk,
+                                dL_flat)
             return pg + dpat
 
         @jax.jit

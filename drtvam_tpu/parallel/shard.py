@@ -69,7 +69,7 @@ def make_sharded_render(mesh: Mesh):
 
             def body(i, acc):
                 lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk_l)
-                acc, _, _ = trace_wavefront(static, arr2, lane, seed, spp,
+                acc, _, _, _ = trace_wavefront(static, arr2, lane, seed, spp,
                                             acc=acc, n_valid=n_lanes)
                 return acc
 
@@ -96,7 +96,7 @@ def make_sharded_render(mesh: Mesh):
 
             def body(i, pg):
                 lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk_l)
-                _, g, _ = trace_wavefront(static, arr2, lane, seed, spp,
+                _, g, _, _ = trace_wavefront(static, arr2, lane, seed, spp,
                                           dL_flat=dL, n_valid=n_lanes)
                 aidx = jnp.minimum(lane // jnp.uint32(spp),
                                    jnp.uint32(n_active - 1)).astype(
