@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .transport2d import build_transport, build_z_resample, \
-    ballistic_eligible, strip_target
+    ballistic_eligible, unscattered_eligible, strip_target
 from .backproject import backproject, banded_eligible, band_span_ok
 from .march import MarchStatic
 
@@ -58,8 +58,17 @@ class BallisticEngine:
     occupancy of the target in this sensor's grid."""
 
     def __init__(self, static: MarchStatic, arr, supersample: int = 1,
-                 impl: str | None = None, inside_mask=None):
-        assert ballistic_eligible(static), "scene not ballistic-eligible"
+                 impl: str | None = None, inside_mask=None,
+                 unscattered: bool = False):
+        """unscattered=True builds the engine as the *unscattered
+        transport* of a scattering scene (the first-flight component of
+        the hybrid engine, ops/hybrid.py) — geometry eligibility only,
+        the estimator/scattering checks don't apply."""
+        if unscattered:
+            assert unscattered_eligible(static), \
+                "scene geometry not precomputable as 2D transport fields"
+        else:
+            assert ballistic_eligible(static), "scene not ballistic-eligible"
         self.static = static
         self.impl = impl or _default_impl()
         self.surface_aware = static.sensor.channels == 2
@@ -145,16 +154,16 @@ class BallisticEngine:
         n_dense = p.n_patterns * p.resy * p.resx
         ap = self.active_pixels
         if ap.shape[0] != n_dense:
-            self.identity_pixels = False
+            self._identity_pixels = False
         elif isinstance(ap, np.ndarray):
-            self.identity_pixels = bool(ap[0] == 0
-                                        and np.all(np.diff(ap) == 1))
+            self._identity_pixels = bool(ap[0] == 0
+                                         and np.all(np.diff(ap) == 1))
         else:
-            # device array: check ON DEVICE (a host round-trip of the
-            # 64M-index array costs seconds over thin-pipe transports)
-            self.identity_pixels = bool(jnp.all(jnp.diff(ap) == 1)
-                                        and ap[0] == 0)
-        if isinstance(ap, np.ndarray) and not self.identity_pixels:
+            # device array of full dense size: defer the (blocking)
+            # device-side check until the first params()/render call so
+            # engine construction never syncs
+            self._identity_pixels = None
+        if isinstance(ap, np.ndarray) and not self._identity_pixels:
             # non-identity sparse maps are gathered per render: keep
             # them device-resident instead of re-uploading per call
             self.active_pixels = jnp.asarray(ap)
@@ -171,6 +180,15 @@ class BallisticEngine:
         # parallel.shard.shard_ballistic_engine replaces this with an
         # angle-sharded mesh implementation
         self._sharded_bp = None
+
+    @property
+    def identity_pixels(self):
+        if self._identity_pixels is None:
+            ap = self.active_pixels
+            # one blocking sync, once, at first use (not construction)
+            self._identity_pixels = bool(jnp.all(jnp.diff(ap) == 1)
+                                         and ap[0] == 0)
+        return self._identity_pixels
 
     # -- z-resample as K-tap gathers ---------------------------------------
 

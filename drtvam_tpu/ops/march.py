@@ -85,6 +85,15 @@ class MarchStatic:
     # pdfs stay detached exactly like the reference. Off by default --
     # it adds VPU work to every adjoint deposit.
     medium_grads: bool = False
+    # Scattered-residual mode (the TPU hybrid engine, ops/hybrid.py):
+    # trace the identical analog paths but suppress every deposit made
+    # with n_scat == 0. The expected value of the suppressed deposits
+    # is the deterministic unscattered transport, which the ballistic
+    # matmul engine computes analytically (ops/transport2d.py) -- so
+    # hybrid = ballistic + scattered_only is an unbiased, strictly
+    # lower-variance estimate of the reference's scattering render
+    # (volume.py:199-263) at a tiny fraction of the scatter traffic.
+    scattered_only: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -149,6 +158,13 @@ def _deposit(primal, acc, g, dL, flat, val, mask):
     return acc, g
 
 
+# Staged-deposit flush width: DDA/ratio steps buffer (idx, val) rows and
+# flush ONE batched scatter-add / gather per K steps. Per-step scatters
+# serialize on TPU (~0.65 ms each at 1M lanes); a 32-step flush moves the
+# same updates at full scatter throughput (~10 G-upd/s measured on v5e).
+DDA_FLUSH = 32
+
+
 def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
                 A, em, inside_target, active, n_scat=None, sg=None):
     """Amanatides-Woo voxel walk with analytic per-voxel absorption
@@ -202,33 +218,55 @@ def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
     X_, Y_, Z_ = static.sensor.res
     C = static.sensor.channels
     max_steps = X_ + Y_ + Z_ + 2
-    inv_vs = 1.0 / vs
     chan = jnp.where(inside_target, 0, 1) if C == 2 else None
 
-    def cond(carry):
-        i, act, *_ = carry
-        return jnp.any(act) & (i < max_steps)
-
-    def body(carry):
-        i, act, voxel, dtmax, t, remaining, acc, g, stg, ssg = carry
+    def advance(act, voxel, dtmax, t, remaining):
+        """One Amanatides-Woo step; returns the step's (dt, flat voxel
+        index, pre-step active mask) plus the advanced walk state."""
         dt = jnp.minimum(jnp.min(dtmax, -1), remaining)
-        remaining = jnp.where(act, remaining - dt, remaining)
-        E = jnp.exp(-st * t)
-        expdt = jnp.exp(-st * jnp.maximum(dt, 0.0))
-        G = 1.0 - expdt
-        contrib = base * E * G
         flat = voxel[..., 0] + X_ * (voxel[..., 1] + Y_ * voxel[..., 2])
         if C == 2:
             flat = 2 * flat + chan
-        acc, g = _deposit(primal, acc, g, dL, flat, contrib, act)
-        if want_sigma:
+        dep_act = act
+        remaining = jnp.where(act, remaining - dt, remaining)
+        act = act & jnp.any(end_voxel != voxel, -1) & (remaining > 1e-6)
+        mask = dtmax == dt[..., None]
+        dtmax = jnp.where(mask, tstep, dtmax - dt[..., None])
+        upd = jnp.where(mask, step_dir, 0)
+        voxel = jnp.where(act[..., None], voxel + upd, voxel)
+        act = act & jnp.all(voxel >= 0, -1) & jnp.all(voxel < res, -1)
+        t_new = jnp.where(act, t + dt, t)
+        return dt, flat, dep_act, (act, voxel, dtmax, t_new, remaining)
+
+    stg0, ssg0 = (sg if sg is not None
+                  else (jnp.float32(0.0), jnp.float32(0.0)))
+
+    if want_sigma:
+        # per-step path: the medium-parameter cotangents need per-step
+        # (t, dt) alongside the gathered adjoint, so keep the gather
+        # inside the loop (calibration mode, not the hot path)
+        def cond(carry):
+            i, act, *_ = carry
+            return jnp.any(act) & (i < max_steps)
+
+        def body(carry):
+            i, act, voxel, dtmax, t, remaining, acc, g, stg, ssg = carry
+            t_at = t
+            dt, flat, dep_act, (act, voxel, dtmax, t, remaining) = \
+                advance(act, voxel, dtmax, t, remaining)
+            E = jnp.exp(-st * t_at)
+            expdt = jnp.exp(-st * jnp.maximum(dt, 0.0))
+            G = 1.0 - expdt
+            contrib = base * E * G
+            acc, g = _deposit(primal, acc, g, dL, flat, contrib, dep_act)
             # c(st, ss) = hist*em * (st-ss)/st * e^{-st(t_prev+t)} *
             # (1 - e^{-st dt}); partials at the detached point
             # (reference sensor.py:395-423)
-            gathered = jnp.where(act, dL[jnp.where(act, flat, 0)], 0.0)
+            gathered = jnp.where(dep_act,
+                                 dL[jnp.where(dep_act, flat, 0)], 0.0)
             HG = hist_em * E * G
             c_full = HG * sa_over_st
-            dst = -c_full * (t_prev + t) + HG * (arr["albedo"] / st) + \
+            dst = -c_full * (t_prev + t_at) + HG * (arr["albedo"] / st) + \
                 hist_em * E * sa_over_st * jnp.maximum(dt, 0.0) * expdt
             dss = -HG / st
             if k is not None:
@@ -236,22 +274,56 @@ def dda_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
                                       jnp.maximum(ss, 1e-30), 0.0)
             stg = stg + jnp.sum(dst * gathered)
             ssg = ssg + jnp.sum(dss * gathered)
+            return (i + 1, act, voxel, dtmax, t, remaining, acc, g,
+                    stg, ssg)
 
-        act = act & jnp.any(end_voxel != voxel, -1) & (remaining > 1e-6)
-        mask = dtmax == dt[..., None]
-        dtmax = jnp.where(mask, tstep, dtmax - dt[..., None])
-        upd = jnp.where(mask, step_dir, 0)
-        voxel = jnp.where(act[..., None], voxel + upd, voxel)
-        act = act & jnp.all(voxel >= 0, -1) & jnp.all(voxel < res, -1)
-        t = jnp.where(act, t + dt, t)
-        return (i + 1, act, voxel, dtmax, t, remaining, acc, g, stg, ssg)
+        carry = (jnp.int32(0), active, start_voxel, dtmax, t_start,
+                 t_end - t_start, acc, g, stg0, ssg0)
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[6], carry[7], (carry[8], carry[9])
 
-    stg0, ssg0 = (sg if sg is not None
-                  else (jnp.float32(0.0), jnp.float32(0.0)))
+    # staged fast path: buffer DDA_FLUSH steps of (idx, val) rows, then
+    # ONE batched scatter-add (primal) / gather+reduce (adjoint) per
+    # round — SURVEY §7.3's binned-accumulation mitigation
+    K = min(DDA_FLUSH, max_steps)
+    n_lanes = o.shape[0]
+    n_rounds = -(-max_steps // K)
+
+    def cond(carry):
+        r, act, *_ = carry
+        return jnp.any(act) & (r < n_rounds)
+
+    def round_body(carry):
+        r, act, voxel, dtmax, t, remaining, acc, g = carry
+        idx_buf = jnp.zeros((K, n_lanes), jnp.int32)
+        val_buf = jnp.zeros((K, n_lanes), jnp.float32)
+
+        def step(j, c):
+            act, voxel, dtmax, t, remaining, idx_buf, val_buf = c
+            t_at = t
+            dt, flat, dep_act, (act, voxel, dtmax, t, remaining) = \
+                advance(act, voxel, dtmax, t, remaining)
+            contrib = base * jnp.exp(-st * t_at) * \
+                (1.0 - jnp.exp(-st * jnp.maximum(dt, 0.0)))
+            idx_buf = jax.lax.dynamic_update_index_in_dim(
+                idx_buf, jnp.where(dep_act, flat, 0), j, 0)
+            val_buf = jax.lax.dynamic_update_index_in_dim(
+                val_buf, jnp.where(dep_act, contrib, 0.0), j, 0)
+            return (act, voxel, dtmax, t, remaining, idx_buf, val_buf)
+
+        act, voxel, dtmax, t, remaining, idx_buf, val_buf = \
+            jax.lax.fori_loop(0, K, step, (act, voxel, dtmax, t,
+                                           remaining, idx_buf, val_buf))
+        if primal:
+            acc = acc.at[idx_buf.ravel()].add(val_buf.ravel())
+        else:
+            g = g + jnp.sum(val_buf * dL[idx_buf], axis=0)
+        return (r + 1, act, voxel, dtmax, t, remaining, acc, g)
+
     carry = (jnp.int32(0), active, start_voxel, dtmax, t_start,
-             t_end - t_start, acc, g, stg0, ssg0)
-    carry = jax.lax.while_loop(cond, body, carry)
-    return carry[6], carry[7], (carry[8], carry[9])
+             t_end - t_start, acc, g)
+    carry = jax.lax.while_loop(cond, round_body, carry)
+    return carry[6], carry[7], (stg0, ssg0)
 
 
 def ratio_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
@@ -279,46 +351,97 @@ def ratio_segment(static, arr, primal, acc, g, dL, o, d, t_prev, maxt,
         ksc = n_scat if (static.has_scattering and n_scat is not None) \
             else None
 
-    def cond(carry):
-        i, act, *_ = carry
-        return jnp.any(act) & (i < 65536)
+    n = o.shape[0]
+    stg0, ssg0 = (sg if sg is not None
+                  else (jnp.float32(0.0), jnp.float32(0.0)))
 
-    def body(carry):
-        i, act, t, k, ctr, acc, g, stg, ssg = carry
+    def track(act, t, k, ctr):
+        """One exponential tracking step; returns the step's deposit
+        (flat index, ratio weight, mask) plus advanced state."""
         u, ctr = sampler.next_1d(lane, ctr)
         t = jnp.where(act, t + sample_free_flight(u, M), t)
         act = act & (t < maxt)
         p = o + t[..., None] * d
         flat, in_grid = _voxel_flat(static, p, bmin, inv_vs, inside_target)
         ratio_k = jnp.exp(k * log_ratio)
-        contrib = base * ratio_k
         mask = act & in_grid
-        acc, g = _deposit(primal, acc, g, dL, flat, contrib, mask)
-        if want_sigma:
-            # c(st, ss) = hist*em * (st-ss) * (1-st/M)^k / M *
-            # e^{-st t_prev}; the st/st cancellation makes the pdf
-            # factor drop out (reference sensor.py:276-291)
-            gathered = jnp.where(mask, dL[jnp.where(mask, flat, 0)], 0.0)
-            H4 = hist_em * ratio_k / M
-            c_full = contrib * em
-            dst = -c_full * t_prev - \
-                c_full * k / jnp.maximum(M - st, 1e-30) + H4
-            dss = -H4
-            if ksc is not None:
-                dss = dss + jnp.where(ss > 0, c_full * ksc /
-                                      jnp.maximum(ss, 1e-30), 0.0)
-            stg = stg + jnp.sum(dst * gathered)
-            ssg = ssg + jnp.sum(dss * gathered)
-        k = jnp.where(act, k + 1.0, k)
-        return (i + 1, act, t, k, ctr, acc, g, stg, ssg)
+        k_new = jnp.where(act, k + 1.0, k)
+        return flat, ratio_k, mask, (act, t, k_new, ctr)
 
-    n = o.shape[0]
-    stg0, ssg0 = (sg if sg is not None
-                  else (jnp.float32(0.0), jnp.float32(0.0)))
+    if static.medium_grads:
+        # per-step path: medium cotangents need per-step k alongside
+        # the gathered adjoint (calibration mode, not the hot path).
+        # Branch on the STATIC flag, not want_sigma: the primal and the
+        # adjoint must consume identical sampler-counter sequences per
+        # segment (path replay, volume.py:116), so both sides must run
+        # the same loop structure.
+        def cond(carry):
+            i, act, *_ = carry
+            return jnp.any(act) & (i < 65536)
+
+        def body(carry):
+            i, act, t, k, ctr, acc, g, stg, ssg = carry
+            k_at = k
+            flat, ratio_k, mask, (act, t, k, ctr) = track(act, t, k, ctr)
+            contrib = base * ratio_k
+            acc, g = _deposit(primal, acc, g, dL, flat, contrib, mask)
+            if want_sigma:
+                # c(st, ss) = hist*em * (st-ss) * (1-st/M)^k / M *
+                # e^{-st t_prev}; the st/st cancellation makes the pdf
+                # factor drop out (reference sensor.py:276-291)
+                gathered = jnp.where(mask, dL[jnp.where(mask, flat, 0)],
+                                     0.0)
+                H4 = hist_em * ratio_k / M
+                c_full = contrib * em
+                dst = -c_full * t_prev - \
+                    c_full * k_at / jnp.maximum(M - st, 1e-30) + H4
+                dss = -H4
+                if ksc is not None:
+                    dss = dss + jnp.where(ss > 0, c_full * ksc /
+                                          jnp.maximum(ss, 1e-30), 0.0)
+                stg = stg + jnp.sum(dst * gathered)
+                ssg = ssg + jnp.sum(dss * gathered)
+            return (i + 1, act, t, k, ctr, acc, g, stg, ssg)
+
+        carry = (jnp.int32(0), active, jnp.zeros((n,), jnp.float32),
+                 jnp.zeros((n,), jnp.float32), ctr, acc, g, stg0, ssg0)
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[5], carry[6], carry[4], (carry[7], carry[8])
+
+    # staged fast path: buffer K tracking steps, one batched flush per
+    # round (see dda_segment)
+    K = 8
+
+    def cond(carry):
+        r, act, *_ = carry
+        return jnp.any(act) & (r < 65536 // K)
+
+    def round_body(carry):
+        r, act, t, k, ctr, acc, g = carry
+        idx_buf = jnp.zeros((K, n), jnp.int32)
+        val_buf = jnp.zeros((K, n), jnp.float32)
+
+        def step(j, c):
+            act, t, k, ctr, idx_buf, val_buf = c
+            flat, ratio_k, mask, (act, t, k, ctr) = track(act, t, k, ctr)
+            idx_buf = jax.lax.dynamic_update_index_in_dim(
+                idx_buf, jnp.where(mask, flat, 0), j, 0)
+            val_buf = jax.lax.dynamic_update_index_in_dim(
+                val_buf, jnp.where(mask, base * ratio_k, 0.0), j, 0)
+            return (act, t, k, ctr, idx_buf, val_buf)
+
+        act, t, k, ctr, idx_buf, val_buf = jax.lax.fori_loop(
+            0, K, step, (act, t, k, ctr, idx_buf, val_buf))
+        if primal:
+            acc = acc.at[idx_buf.ravel()].add(val_buf.ravel())
+        else:
+            g = g + jnp.sum(val_buf * dL[idx_buf], axis=0)
+        return (r + 1, act, t, k, ctr, acc, g)
+
     carry = (jnp.int32(0), active, jnp.zeros((n,), jnp.float32),
-             jnp.zeros((n,), jnp.float32), ctr, acc, g, stg0, ssg0)
-    carry = jax.lax.while_loop(cond, body, carry)
-    return carry[5], carry[6], carry[4], (carry[7], carry[8])
+             jnp.zeros((n,), jnp.float32), ctr, acc, g)
+    carry = jax.lax.while_loop(cond, round_body, carry)
+    return carry[5], carry[6], carry[4], (stg0, ssg0)
 
 
 def delta_segment(static, arr, primal, acc, g, dL, o, d, t_prev, mei_t,
@@ -479,6 +602,9 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
 
         # ---- dose deposit along this segment -----------------------------
         dep_active = (medium_event | reached_surface) & active
+        if static.scattered_only:
+            # unscattered deposits belong to the ballistic matmul
+            dep_active = dep_active & (n_scat > 0.0)
         if radon:
             # reference radon.py:75-77: accumulate the in-target absorption
             # with t summed over *all* path segments (incl. air/glass).

@@ -88,8 +88,7 @@ def _adjoint(static: MarchStatic, arr, seed, spp, chunk, dL_flat,
     if active_data is None or not static.medium_grads:
         arr2["active_data"] = jnp.zeros((n_active,), jnp.float32)
     else:
-        w0 = ray_weight(static.projector, arr, spp, arr["print_time"])
-        arr2["active_data"] = active_data * 1.0
+        arr2["active_data"] = active_data
     lane_base = jnp.arange(chunk, dtype=jnp.uint32)
     pg0 = jnp.zeros((n_active,), jnp.float32)
     sg0 = (jnp.float32(0.0), jnp.float32(0.0))

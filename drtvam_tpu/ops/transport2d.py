@@ -37,23 +37,40 @@ from ..models.geometry import DIELECTRIC, NULL
 INF = np.float32(np.inf)  # numpy: no device commit at import time
 
 
-def ballistic_eligible(static: MarchStatic) -> bool:
-    """The fast path covers the reference's headline benchmarks:
-    collimated projector, pure absorption, analytic (z-invariant)
-    vials, transmission-only BSDFs, dda estimator. A target mesh with a
-    null BSDF is allowed (surface-aware films): it never deflects rays,
-    it only selects the deposit channel, which the engine reproduces
-    with the voxelized inside-mask. Occlusions / mesh vials are not
-    z-invariant -> wavefront fallback."""
+def unscattered_eligible(static: MarchStatic) -> bool:
+    """Can the *unscattered* transport of this scene be precomputed as
+    per-angle 2D fields? Requires z-invariant deterministic geometry:
+    collimated projector, analytic vials, transmission-only BSDFs. A
+    target mesh with a null BSDF is allowed (surface-aware films): it
+    never deflects rays, it only selects the deposit channel, which the
+    engine reproduces with the voxelized inside-mask. Occlusions / mesh
+    vials are not z-invariant -> wavefront fallback.
+
+    This is the eligibility test of the HYBRID scattering engine
+    (ops/hybrid.py): the expected value of every n_scat == 0 deposit
+    equals the analytic per-voxel Beer-Lambert absorption for all three
+    reference estimators (dda: exactly, sensor.py:306-440; ratio/delta:
+    in expectation, sensor.py:121-295), so the 2D fields replace them
+    regardless of the configured estimator."""
     from ..models.geometry import MESH, NULL
     return (
         static.mode == "volume"
         and static.projector.kind == "collimated"
-        and not static.has_scattering
-        and static.sensor.estimator == "dda"
         and static.transmission_only
         and all(s.kind != MESH or (s.is_target and s.bsdf == NULL)
                 for s in static.surfaces)
+    )
+
+
+def ballistic_eligible(static: MarchStatic) -> bool:
+    """The pure-matmul fast path covers the reference's headline
+    1-ray-per-pixel benchmarks: unscattered-precomputable geometry,
+    pure absorption, dda estimator — the whole render is the
+    backprojection matmul."""
+    return (
+        unscattered_eligible(static)
+        and not static.has_scattering
+        and static.sensor.estimator == "dda"
     )
 
 

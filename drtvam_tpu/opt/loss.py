@@ -1,18 +1,24 @@
-"""Dose-volume losses (reference: src/drtvam/loss.py).
+"""Dose-volume objectives.
 
-A loss maps (dose volume x, target, patterns) to a scalar. Two target
-layouts (loss.py:28-50):
-  * binary / grayscale: target (..., 1); object voxels (target > 0) are
-    scored with `eval_in`, void voxels with `eval_out`;
-  * surface-aware: target (..., 2) holds per-voxel (inside, outside)
-    fractional volumes; x (..., 2) holds the dose integrated inside /
-    outside the target surface; the two channels are scored separately
-    and weighted by the normalized fractional volumes.
+Functional parity with the reference's loss module (src/drtvam/loss.py
+for the math: thresholded dose penalty per Wechsler et al. 2024, plain
+L2, pattern-sparsity term, sum/mean reduction) re-organized for this
+framework: the target-layout dispatch is a free function over pure jnp
+term functions, and each objective is a small config record exposing
+`object_term` / `void_term` / `sparsity_term`.
 
-The pattern-sparsity penalty is reduced separately with the same
-reduction, matching loss.py:57-59. Everything is plain jnp and
-differentiable end to end — the adjoint dose gradient flows into the
-renderer's custom_vjp.
+Two target layouts are accepted:
+  * one channel — binary or grayscale occupancy; voxels with
+    target > 0 are scored by `object_term`, the rest by `void_term`;
+  * two channels — surface-aware: target holds per-voxel (inside,
+    outside) fractional volumes and the dose tensor carries the dose
+    integrated on each side of the target surface; each side is scored
+    by its own term and weighted by the normalized fractional volume.
+
+Config keys and default values are the drop-in contract with reference
+JSON files and are pinned by tests/test_loss.py (exact values AND
+gradients). Everything here is plain differentiable jnp: the dose
+cotangent produced by jax.grad flows into the renderer's custom_vjp.
 """
 from __future__ import annotations
 
@@ -25,87 +31,113 @@ def register_loss(name, cls):
     losses[name] = cls
 
 
-def relu(x):
+def _pos(x):
+    """max(x, 0), kept as a named helper so term formulas read like the
+    paper's relu(.)^K notation."""
     return jnp.maximum(x, 0.0)
 
 
+def evaluate(objective, dose, target, patterns):
+    """Reduce an objective over a dose volume.
+
+    dose: (..., C) with C in {1, 2}; target: same trailing channel
+    count (a missing channel axis on the target is added when the dose
+    has a singleton one). Returns reduced(voxel terms) +
+    reduced(pattern sparsity term).
+    """
+    dose = jnp.asarray(dose)
+    target = jnp.asarray(target)
+    if dose.shape != target.shape:
+        if dose.ndim == target.ndim + 1 and dose.shape[-1] == 1:
+            target = target[..., None]
+        else:
+            raise ValueError(
+                f"dose volume {dose.shape} and target {target.shape} are "
+                "not broadcast-compatible")
+
+    channels = target.shape[-1]
+    if channels == 1:
+        per_voxel = objective.voxel_term(dose, target)
+    elif channels == 2:
+        frac = target[..., 0] + target[..., 1]
+        per_voxel = (target[..., 0] * objective.object_term(dose[..., 0])
+                     + target[..., 1] * objective.void_term(dose[..., 1])
+                     ) / frac
+    else:
+        raise ValueError(
+            f"expected a trailing channel axis of 1 (binary) or 2 "
+            f"(surface-aware), got target shape {target.shape}")
+
+    reduce_ = objective.reduction
+    sparsity = jnp.asarray(objective.sparsity_term(patterns), jnp.float32)
+    return reduce_(per_voxel) + reduce_(sparsity)
+
+
 class Loss:
+    """Base objective: reduction handling + the callable contract.
+
+    Subclasses (and user extensions via `register_loss`) provide
+    `object_term(dose)`, `void_term(dose)` and `sparsity_term(patterns)`.
+    """
+
     def __init__(self, props):
         reduction = props.get("reduction", "sum")
-        if reduction == "sum":
-            self.reduction = jnp.sum
-        elif reduction == "mean":
-            self.reduction = jnp.mean
-        else:
-            raise ValueError(f"Invalid reduction method: '{reduction}'.")
+        try:
+            self.reduction = {"sum": jnp.sum, "mean": jnp.mean}[reduction]
+        except KeyError:
+            raise ValueError(
+                f"reduction must be 'sum' or 'mean', got '{reduction}'")
 
-    def eval_in(self, x):
+    def object_term(self, dose):
         raise NotImplementedError
 
-    def eval_out(self, x):
+    def void_term(self, dose):
         raise NotImplementedError
 
-    def eval(self, x, target, patterns):
+    def sparsity_term(self, patterns):
         raise NotImplementedError
 
-    def eval_sparsity(self, patterns):
-        raise NotImplementedError
+    def voxel_term(self, dose, target):
+        """One-channel (binary / grayscale) scoring; the default routes
+        occupied voxels to object_term and empty ones to void_term."""
+        return jnp.where(target > 0,
+                         self.object_term(dose),
+                         self.void_term(dose))
 
-    def __call__(self, x, target, patterns):
-        x = jnp.asarray(x)
-        target = jnp.asarray(target)
-        if x.shape != target.shape:
-            if x.ndim == target.ndim + 1 and x.shape[-1] == 1:
-                target = target[..., None]
-            else:
-                raise ValueError("Input and target shapes do not match: "
-                                 f"{x.shape} != {target.shape}")
-
-        if target.shape[-1] == 1:
-            loss, loss_patterns = self.eval(x, target, patterns)
-        elif target.shape[-1] == 2:
-            denom = target[..., 0] + target[..., 1]
-            w_in = target[..., 0] / denom
-            w_out = target[..., 1] / denom
-            loss = w_in * self.eval_in(x[..., 0]) + \
-                w_out * self.eval_out(x[..., 1])
-            loss_patterns = self.eval_sparsity(patterns)
-        else:
-            raise ValueError(f"[Loss] Received tensors of invalid shape: "
-                             f"{target.shape}. The last dimension should "
-                             "be either 1 or 2.")
-        return self.reduction(loss) + self.reduction(
-            jnp.asarray(loss_patterns, jnp.float32))
+    def __call__(self, dose, target, patterns):
+        return evaluate(self, dose, target, patterns)
 
 
 class L2Loss(Loss):
-    """Plain squared error (reference loss.py:63-79)."""
+    """Squared distance of the dose to the binary occupancy (plus the
+    optional |p|^M pattern penalty)."""
 
     def __init__(self, props):
         super().__init__(props)
         self.M = props.get("M", 4)
         self.weight_sparsity = props.get("weight_sparsity", 0)
 
-    def eval_in(self, x):
-        return jnp.square(x - 1.0)
+    def object_term(self, dose):
+        return jnp.square(dose - 1.0)
 
-    def eval_out(self, x):
-        return jnp.square(x)
+    def void_term(self, dose):
+        return jnp.square(dose)
 
-    def eval(self, x, target, patterns):
-        return jnp.square(x - target), 0.0 * patterns
+    def voxel_term(self, dose, target):
+        # grayscale targets are meaningful for L2: match them directly
+        return jnp.square(dose - target)
 
-    def eval_sparsity(self, patterns):
-        return patterns ** self.M * self.weight_sparsity
+    def sparsity_term(self, patterns):
+        return self.weight_sparsity * patterns ** self.M
 
 
 class ThresholdedLoss(Loss):
-    """Thresholded dose loss, Wechsler et al. 2024 (loss.py:82-132):
+    """Thresholded dose objective (Wechsler et al. 2024):
 
-      L = w_obj * relu(tu - x)^K      (object voxels below tu)
-        + w_void * relu(x - tl)^K     (void voxels above tl)
-        + w_limit * relu(x - 1)^K     (overpolymerization, object only)
-        + w_sparsity * |patterns|^M
+      w_obj  * max(tu - d, 0)^K    object voxels still below tu
+    + w_void * max(d - tl, 0)^K    void voxels already above tl
+    + w_lim  * max(d - 1, 0)^K     overpolymerized object voxels
+    + w_sp   * |p|^M               pattern sparsity
     """
 
     def __init__(self, props):
@@ -120,22 +152,18 @@ class ThresholdedLoss(Loss):
         self.weight_sparsity = props.get("weight_sparsity", 0)
         if self.tl >= self.tu:
             raise ValueError(
-                f"[ThresholdedLoss] Lower threshold ({self.tl}) must be "
-                f"smaller than upper threshold ({self.tu})")
+                f"threshold window is empty: tl={self.tl} must lie below "
+                f"tu={self.tu}")
 
-    def eval_in(self, x):
-        return self.weight_object * relu(self.tu - x) ** self.K + \
-            self.weight_limit * relu(x - 1.0) ** self.K
+    def object_term(self, dose):
+        return (self.weight_object * _pos(self.tu - dose) ** self.K
+                + self.weight_limit * _pos(dose - 1.0) ** self.K)
 
-    def eval_out(self, x):
-        return self.weight_void * relu(x - self.tl) ** self.K
+    def void_term(self, dose):
+        return self.weight_void * _pos(dose - self.tl) ** self.K
 
-    def eval_sparsity(self, patterns):
-        return jnp.abs(patterns) ** self.M * self.weight_sparsity
-
-    def eval(self, x, target, patterns):
-        return jnp.where(target > 0, self.eval_in(x), self.eval_out(x)), \
-            self.eval_sparsity(patterns)
+    def sparsity_term(self, patterns):
+        return self.weight_sparsity * jnp.abs(patterns) ** self.M
 
 
 register_loss("l2", L2Loss)

@@ -190,8 +190,8 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
 
     if sensor.static.estimator == "delta" and scene.medium.albedo == 0.0:
         raise ValueError(
-            "Tried to render a purely absorptive volume with a delta "
-            "tracking sensor. This is not supported.")
+            "the delta-tracking estimator needs a scattering medium "
+            "(albedo > 0); use 'dda' or 'ratio' for pure absorption")
 
     # Reference target volume (optimize.py:131-140)
     tb = scene.target_bank()
@@ -217,7 +217,9 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
             chunk=chunk)))
         active = np.nonzero(img > 0.0)[0].astype(np.int32)
         if active.size == 0:
-            raise ValueError("No active pixels found in the Radon transform.")
+            raise ValueError(
+                "Radon culling removed every DMD pixel — no ray ever "
+                "crosses the target. Check the projector/target setup.")
         scene.projector.set_active(active, np.zeros(active.size, np.float32))
 
     if "filter_corner" in config and patterns_fwd is None:
@@ -231,22 +233,26 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
             radius=ccfg.get("radius", 0.1), seed=0, chunk=chunk)))
         active = np.nonzero(img > 0.0)[0].astype(np.int32)
         if active.size == 0:
-            raise ValueError("No active pixels found in the Radon transform.")
+            raise ValueError(
+                "Corner culling removed every DMD pixel — the corner "
+                "radius/dist likely cover the whole aperture.")
         scene.projector.set_active(active, np.zeros(active.size, np.float32))
 
     # ---- loss / optimizer selection (optimize.py:193-222) ----------------
     if "loss" not in config:
-        print("No loss function specified. Using thresholded loss.")
+        print("Config has no 'loss' entry; defaulting to the thresholded "
+              "dose loss.")
         config["loss"] = {"type": "threshold"}
     loss_cfg = dict(config["loss"])
     loss_type = loss_cfg.pop("type")
     if loss_type not in losses:
-        raise ValueError(f"Unknown loss type: '{loss_type}'. Available "
-                         f"losses are: {list(losses.keys())}")
+        raise ValueError(f"no loss named '{loss_type}' is registered "
+                         f"(have: {sorted(losses)})")
     loss_obj = losses[loss_type](loss_cfg)
 
     if "optimizer" not in config:
-        print("No optimizer specified. Using linear L-BFGS.")
+        print("Config has no 'optimizer' entry; defaulting to linear "
+              "L-BFGS.")
         config["optimizer"] = {"type": "lbfgs"}
     opt_cfg = dict(config["optimizer"])
     optim_type = opt_cfg.pop("type")
@@ -276,7 +282,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
 
     def dump_patterns(data):
         imgs = np.asarray(scene.projector.patterns(data))
-        print("Saving images...")
+        print("Writing per-pattern EXR images...")
         for i in trange(imgs.shape[0]):
             save_img(imgs[i], os.path.join(output, "patterns",
                                            f"{i:04d}.exr"))
@@ -286,34 +292,33 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
 
     # ---- forward-only / PSF modes (optimize.py:240-284) ------------------
     if patterns_fwd is not None:
-        print("Using provided patterns for forward mode.")
+        print("Forward mode: projecting the supplied patterns, no "
+              "optimization.")
         data = jnp.asarray(np.asarray(patterns_fwd, np.float32).ravel())
         scene.projector.active_data = data
     elif "psf_analysis" in config:
-        print("\nPSF analysis enabled.")
-        print("Exporting ray tracing...")
         entries = config["psf_analysis"]
-        print("Number of traced pixels:", len(entries))
+        print(f"\nPSF analysis mode: tracing {len(entries)} isolated "
+              "DMD pixels.")
         xres = config["projector"]["resx"]
         yres = config["projector"]["resy"]
         pix = np.zeros(len(entries), np.int32)
         val = np.ones(len(entries), np.float32)
         for i, e in enumerate(entries):
-            assert e["x"] < xres, ("Invalid entry in psf_analysis: x out of "
-                                   "bounds. Please check the configuration "
-                                   "file.")
-            assert e["y"] < yres, ("Invalid entry in psf_analysis: y out of "
-                                   "bounds. Please check the configuration "
-                                   "file.")
-            assert e["index_pattern"] < config["projector"]["n_patterns"], (
-                "Invalid entry in psf_analysis: index_pattern out of bounds. "
-                "Please check the configuration file.")
+            if e["x"] >= xres or e["y"] >= yres:
+                raise ValueError(
+                    f"psf_analysis pixel ({e['x']}, {e['y']}) lies outside "
+                    f"the {xres}x{yres} DMD")
+            if e["index_pattern"] >= config["projector"]["n_patterns"]:
+                raise ValueError(
+                    f"psf_analysis index_pattern {e['index_pattern']} "
+                    "exceeds n_patterns")
             pix[i] = xres * yres * e["index_pattern"] + xres * e["y"] + e["x"]
             val[i] = e["intensity"]
         scene.projector.set_active(pix, val)
         data = scene.projector.active_data
 
-        print("Rendering final state...")
+        print("Rendering the final dose volume...")
         vol_final = final_render(data)
         np.save(os.path.join(output, "final.npy"), vol_final)
         save_vol(vol_final, os.path.join(output, "final.exr"))
@@ -323,7 +328,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
         return vol_final
     else:
         # ---- the optimization loop (optimize.py:287-325) -----------------
-        print("Optimizing patterns...")
+        print("Starting the pattern optimization loop...")
         data = scene.projector.active_data
         checkpoint_every = int(config.get("checkpoint_every", 0))
         resume_ckpt = None
@@ -439,7 +444,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
         scene.projector.active_data = data
 
     # ---- final render + artifacts (optimize.py:327-366) ------------------
-    print("Rendering final state...")
+    print("Rendering the final dose volume...")
     vol_final = final_render(data)
     np.save(os.path.join(output, "final.npy"), vol_final)
     save_vol(vol_final, os.path.join(output, "final.exr"))
@@ -463,7 +468,7 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
         hist_target = np.asarray(target)
 
     efficiency = float(np.sum(normalized / normalized.size))
-    print("Pattern efficiency {:.4f}".format(efficiency))
+    print(f"Pattern energy efficiency: {efficiency:.4f}")
     save_histogram(vol_final, hist_target,
                    os.path.join(output, "histogram.png"),
                    efficiency, array_max)
@@ -483,8 +488,8 @@ class OverrideAction(argparse.Action):
         try:
             key, value = values.split("=")
         except ValueError:
-            raise ValueError("Invalid parameter override. Use the format "
-                             "'-D key=value'")
+            raise ValueError(
+                f"override '{values}' is not of the form key=value")
         try:
             value = int(value)
         except ValueError:
@@ -550,7 +555,7 @@ def main(argv=None):
     if args.forward_mode:
         if args.patterns is None:
             raise ValueError(
-                "In forward mode, you must specify the patterns file.")
+                "--forward_mode needs --patterns pointing at a .npz file")
         patterns = np.load(args.patterns)["patterns"]
         optimize(config, patterns_fwd=patterns,
                  resolve_path=make_resolver(base_dir))
