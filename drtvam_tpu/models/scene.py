@@ -59,10 +59,23 @@ class Scene:
         self.vial = geometries[vcfg["type"]](vcfg, resolve_path)
         self.medium = self.vial.medium
 
-        if "filename" not in config["target"]:
+        # Target: a mesh (the reference's only option) or a recorded
+        # dose volume ("dose_npy": path to a (Z, Y, X) or (Z, Y, X, 1)
+        # .npy) — the calibration workflow (fit sigma_t/albedo so the
+        # simulation reproduces a measured dose; reference docs
+        # calibration tutorials).
+        self.target_dose = None
+        if "dose_npy" in config["target"]:
+            dose = np.load(resolve_path(config["target"]["dose_npy"]))
+            if dose.ndim == 3:
+                dose = dose[..., None]
+            self.target_dose = np.asarray(dose, np.float32)
+            self.target_mesh = None
+        elif "filename" not in config["target"]:
             raise ValueError("Missing field 'filename' for the target shape.")
-        raw_target = load_mesh(resolve_path(config["target"]["filename"]))
-        self.target_mesh = _mesh_transform(raw_target, config["target"])
+        else:
+            raw_target = load_mesh(resolve_path(config["target"]["filename"]))
+            self.target_mesh = _mesh_transform(raw_target, config["target"])
 
         self.projector = Projector(config["projector"], resolve_path)
         self.sensor = Sensor(config["sensor"])
@@ -82,6 +95,10 @@ class Scene:
 
     def target_bank(self):
         """Host triangle bank (v0, e1, e2, n) of the transformed target."""
+        if self.target_mesh is None:
+            raise ValueError(
+                "this scene's target is a recorded dose volume "
+                "('dose_npy'); no target mesh is available")
         if self._target_bank is None:
             self._target_bank = self.target_mesh.triangle_bank()
         return self._target_bank

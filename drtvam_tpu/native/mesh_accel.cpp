@@ -162,7 +162,16 @@ void voxelize_mesh(const float *v0, const float *e1, const float *e2,
   const float vy = (bbox_max[1] - bbox_min[1]) / Y;
   const float vz = (bbox_max[2] - bbox_min[2]) / Z;
   const float z0 = bbox_min[2];
-  const float z_start = bbox_min[2] - 1.f;
+  // start columns below the MESH, not the film bbox: a surface below
+  // the film (mesh taller than the sensor volume) still flips parity
+  float mesh_zmin = bbox_min[2];
+  for (int i = 0; i < n_tris; ++i) {
+    const float az = v0[3 * i + 2];
+    const float bz = az + e1[3 * i + 2];
+    const float cz = az + e2[3 * i + 2];
+    mesh_zmin = std::min(mesh_zmin, std::min(az, std::min(bz, cz)));
+  }
+  const float z_start = mesh_zmin - 1.f;
   const int S = mode == 0 ? 1 : std::max(1, oversample);
   const float inv_ss = 1.f / (S * S);
   constexpr int kMaxK = 64;

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from .ballistic import BallisticEngine
 from .transport2d import unscattered_eligible
-from .render import render, default_chunk
+from .render import render, default_chunk, _adjoint
 from .march import MarchStatic
 
 __all__ = ["ScatteringEngine", "hybrid_eligible"]
@@ -96,3 +96,16 @@ class ScatteringEngine:
                        seed=seed, spp=self.spp, spp_grad=self.spp_grad,
                        chunk=self.chunk)
         return vol_b + vol_s
+
+    def pattern_grad(self, dvol, inv_vol, seed=0, params=None):
+        """d loss / d active_data given d loss / d vol — the explicit
+        adjoint (avoids re-running the forward inside a vjp): ballistic
+        transpose matmuls + one scattered-residual adjoint wavefront
+        with the SAME seed (path replay, reference volume.py:116)."""
+        p = self.params() if params is None else params
+        gb = self.ball.pattern_grad(dvol, inv_vol, params=p["ball"])
+        dL_flat = (dvol * inv_vol).reshape(-1)
+        seed = jnp.asarray(seed, jnp.uint32)
+        gs, _, _ = _adjoint(self.static_s, p["arr"], seed, self.spp_grad,
+                            self.chunk, dL_flat)
+        return gb + gs

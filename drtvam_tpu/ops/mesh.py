@@ -321,6 +321,53 @@ def make_box_tube(hx, hy, z0, z1, flip=False):
     return TriMesh(v, f)
 
 
+def make_hollow_gear(r_out=1.0, r_root=0.78, r_hole=0.35, n_teeth=12,
+                     half_height=0.5, segments=360, steepness=4.0):
+    """Hollow gear: an extruded annulus between a toothed outer profile
+    and a circular bore (procedural stand-in for the reference's
+    `hollow_gear.ply` double-cylindrical e2e target,
+    tests/test_optimization.py:18-39).
+
+    The outer radius follows a trapezoidal tooth wave
+    r(th) = r_root + (r_out - r_root) * clip(steepness*sin(n_teeth*th))
+    sampled at `segments` angles; the bore uses the same angular
+    sampling so the top/bottom annulus caps pair 1:1. Watertight, same
+    topology as make_box_with_hole.
+    """
+    th = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    wave = np.clip(steepness * np.sin(n_teeth * th), -1.0, 1.0)
+    r = r_root + (r_out - r_root) * (0.5 + 0.5 * wave)
+    outer = np.stack([r * np.cos(th), r * np.sin(th)], -1)
+    inner = np.stack([r_hole * np.cos(th), r_hole * np.sin(th)], -1)
+
+    verts = []
+
+    def add(v):
+        verts.append(v)
+        return len(verts) - 1
+
+    hz = half_height
+    cb = [add([x, y, -hz]) for x, y in inner]   # bottom bore ring
+    sb = [add([x, y, -hz]) for x, y in outer]   # bottom gear ring
+    ct = [add([x, y, hz]) for x, y in inner]    # top bore ring
+    st = [add([x, y, hz]) for x, y in outer]    # top gear ring
+
+    faces = []
+    n = segments
+    for i in range(n):
+        j = (i + 1) % n
+        # bottom annulus (normal -z)
+        faces += [[cb[i], sb[i], sb[j]], [cb[i], sb[j], cb[j]]]
+        # top annulus (normal +z)
+        faces += [[ct[i], st[j], st[i]], [ct[i], ct[j], st[j]]]
+        # bore wall (normal toward the axis)
+        faces += [[cb[i], cb[j], ct[j]], [cb[i], ct[j], ct[i]]]
+        # outer gear wall (normal outward)
+        faces += [[sb[i], st[i], st[j]], [sb[i], st[j], sb[j]]]
+
+    return TriMesh(np.array(verts, np.float32), np.array(faces, np.int32))
+
+
 def make_cylinder_shell(radius, z0, z1, segments=96, flip=False):
     """Closed-tube triangle mesh approximating a cylinder side wall."""
     th = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)

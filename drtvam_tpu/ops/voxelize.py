@@ -39,6 +39,16 @@ def _native_voxelize(tri_bank, bbox_min, bbox_max, res, mode,
                                 oversample)
 
 
+def _mesh_z_start(v0, e1, e2, bbox_min):
+    """A z strictly below BOTH the film bbox and the whole mesh —
+    columns must start under every surface or parity flips are lost
+    when the mesh extends below the sensor volume."""
+    zmin = jnp.minimum(jnp.min(v0[:, 2]),
+                       jnp.minimum(jnp.min(v0[:, 2] + e1[:, 2]),
+                                   jnp.min(v0[:, 2] + e2[:, 2])))
+    return jnp.minimum(jnp.asarray(bbox_min)[2], zmin) - 1.0
+
+
 def _column_crossings(v0, e1, e2, xy, z_start, max_k=MAX_CROSSINGS):
     """All intersection z's of +z rays from (x, y, z_start).
 
@@ -81,7 +91,7 @@ def occupancy(tri_bank, bbox_min, bbox_max, res):
     zs = bbox_min[2] + (jnp.arange(Z) + 0.5) * vs[2]
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")  # (Y, X)
     xy = jnp.stack([gx.ravel(), gy.ravel()], -1)
-    z_start = bbox_min[2] - 1.0
+    z_start = _mesh_z_start(v0, e1, e2, bbox_min)
     cross = _column_crossings(v0, e1, e2, xy, z_start)  # (Y*X, K)
     # parity at each voxel-center z
     below = cross[None, :, :] <= zs[:, None, None]  # (Z, Y*X, K)
@@ -118,7 +128,7 @@ def fractional_volumes(tri_bank, bbox_min, bbox_max, res, oversample=4):
     frac = jnp.zeros((Z, Y * X), jnp.float32)
     z_edges_lo = bmin[2] + jnp.arange(Z) * vs[2]
     z_edges_hi = z_edges_lo + vs[2]
-    z_start = bbox_min[2] - 1.0
+    z_start = _mesh_z_start(v0, e1, e2, bbox_min)
 
     for ox in range(oversample):
         for oy in range(oversample):

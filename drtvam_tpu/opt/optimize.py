@@ -40,18 +40,26 @@ def _block(x):
 
 
 def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
-                   target, engine="auto", inside_mask=None):
+                   target, engine="auto", inside_mask=None,
+                   hybrid_estimator=None):
     """Jitted primal / adjoint / direction-render / line-search closures
     for one integrator configuration.
 
     engine: 'auto' picks the ballistic matmul fast path when the scene
     qualifies (collimated + analytic vial + pure absorption, see
-    ops/transport2d.ballistic_eligible), else the wavefront MC path
-    tracer; 'wavefront'/'ballistic' force one."""
+    ops/transport2d.ballistic_eligible), the hybrid engine
+    (analytic unscattered transport + MC scattered residual,
+    ops/hybrid.py) for scattering scenes with precomputable geometry,
+    else the wavefront MC path tracer; 'wavefront'/'ballistic'/'hybrid'
+    force one."""
     from ..ops.ballistic import BallisticEngine, ballistic_eligible
+    from ..ops.hybrid import ScatteringEngine, hybrid_eligible
 
     use_ballistic = (engine == "ballistic") or \
         (engine == "auto" and ballistic_eligible(static))
+    use_hybrid = (engine == "hybrid") or \
+        (engine == "auto" and not use_ballistic and
+         hybrid_eligible(static))
 
     # Large arrays (transport fields, scene arrays, target volume,
     # surface-aware inv_vol) are passed as jit ARGUMENTS, not captured
@@ -78,6 +86,41 @@ def _make_step_fns(static, arr, inv_vol, spp, spp_grad, chunk, loss_obj,
         @jax.jit
         def dir_render_j(data, seed, ep, iv):
             return eng.render_vol(data, iv, params=ep)
+
+        primal = lambda data, seed: primal_j(data, seed, ep, inv_vol,
+                                             target)
+        adjoint = lambda vol, data, seed: adjoint_j(vol, data, seed, ep,
+                                                    inv_vol, target)
+        dir_render = lambda data, seed: dir_render_j(data, seed, ep,
+                                                     inv_vol)
+
+        def dir_fn(z, seed, ctx, iv, tgt):
+            return dir_render_j(z, seed, ctx, iv)
+
+        step_args = lambda seed: (seed, ep, inv_vol, target)
+    elif use_hybrid:
+        eng = ScatteringEngine(static, arr, spp=spp, spp_grad=spp_grad,
+                               chunk=chunk, inside_mask=inside_mask,
+                               estimator=hybrid_estimator)
+        ep = eng.params()
+
+        @jax.jit
+        def primal_j(data, seed, ep, iv, tgt):
+            vol = eng.render_vol(data, iv, seed=seed, params=ep)
+            loss = loss_obj(vol, tgt, data)
+            return vol, loss
+
+        @jax.jit
+        def adjoint_j(vol, data, seed, ep, iv, tgt):
+            dvol, dpat = jax.grad(
+                lambda v, p: loss_obj(v, tgt, p),
+                argnums=(0, 1))(vol, data)
+            return eng.pattern_grad(dvol, iv, seed=seed,
+                                    params=ep) + dpat
+
+        @jax.jit
+        def dir_render_j(data, seed, ep, iv):
+            return eng.render_vol(data, iv, seed=seed, params=ep)
 
         primal = lambda data, seed: primal_j(data, seed, ep, inv_vol,
                                              target)
@@ -188,20 +231,50 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
     final_sensor = scene.final_sensor
     surface_aware = sensor.surface_aware
 
+    # Medium calibration (reference volume.py:277-280 exposes sigma_t /
+    # sigma_s gradients through its adjoint; here a config key drives
+    # them): "optimize_medium": {"lr": 0.05, "sigma_t": true,
+    # "albedo": false}. Needs the wavefront engine — the ballistic /
+    # hybrid fast paths bake the medium into precomputed transport
+    # fields, so their medium partials are not available.
+    med_cfg = config.get("optimize_medium", None)
+    if med_cfg is True:
+        med_cfg = {}
+    if med_cfg is not None:
+        if engine in ("ballistic", "hybrid"):
+            raise ValueError(
+                "optimize_medium requires the wavefront engine; the "
+                f"'{engine}' engine precomputes the medium into its "
+                "transport fields")
+        engine = "wavefront"
+
     if sensor.static.estimator == "delta" and scene.medium.albedo == 0.0:
         raise ValueError(
             "the delta-tracking estimator needs a scattering medium "
             "(albedo > 0); use 'dda' or 'ratio' for pure absorption")
 
-    # Reference target volume (optimize.py:131-140)
-    tb = scene.target_bank()
-    if surface_aware:
-        target = np.asarray(sensor.compute_volume(tb))
-        save_vol(target[..., 0, None], os.path.join(output, "target_in.exr"))
-        save_vol(target[..., 1, None], os.path.join(output, "target_out.exr"))
+    # Reference target volume (optimize.py:131-140); alternatively a
+    # recorded dose volume for medium calibration (target.dose_npy)
+    if scene.target_dose is not None:
+        if surface_aware:
+            raise ValueError("a dose-volume target cannot drive the "
+                             "surface-aware discretization")
+        if config.get("filter_radon", False) or "filter_corner" in config:
+            raise ValueError("DMD-pixel culling filters need a target "
+                             "mesh, not a dose volume")
+        tb = None
+        target = scene.target_dose
     else:
-        target = np.asarray(sensor.discretize(tb))
-        save_vol(target, os.path.join(output, "target.exr"))
+        tb = scene.target_bank()
+        if surface_aware:
+            target = np.asarray(sensor.compute_volume(tb))
+            save_vol(target[..., 0, None],
+                     os.path.join(output, "target_in.exr"))
+            save_vol(target[..., 1, None],
+                     os.path.join(output, "target_out.exr"))
+        else:
+            target = np.asarray(sensor.discretize(tb))
+            save_vol(target, os.path.join(output, "target.exr"))
     np.save(os.path.join(output, "target.npy"), target)
     target = jnp.asarray(target)
 
@@ -267,15 +340,22 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
 
     def final_render(data):
         from ..ops.ballistic import BallisticEngine, ballistic_eligible
+        from ..ops.hybrid import ScatteringEngine, hybrid_eligible
         static_f, arr_f = scene.build(
             mode="volume", include_target=surface_aware,
             max_depth=max_depth_ref, rr_depth=rr_depth_ref,
             print_time=print_time, transmission_only=transmission_only,
             regular_sampling=regular_sampling, sensor=final_sensor)
         inv_vol_f = jnp.float32(1.0 / final_sensor.voxel_volume)
+        mask_f = final_sensor.discretize(tb) if surface_aware else None
         if engine != "wavefront" and ballistic_eligible(static_f):
-            eng = BallisticEngine(static_f, arr_f)
+            eng = BallisticEngine(static_f, arr_f, inside_mask=mask_f)
             return np.asarray(_block(eng.render_vol(data, inv_vol_f)))
+        if engine != "wavefront" and hybrid_eligible(static_f):
+            eng = ScatteringEngine(static_f, arr_f, spp=spp_ref,
+                                   chunk=chunk, inside_mask=mask_f)
+            return np.asarray(_block(eng.render_vol(data, inv_vol_f,
+                                                    seed=0)))
         return np.asarray(_block(render(
             static_f, arr_f, data, inv_vol_f, seed=0, spp=spp_ref,
             chunk=chunk)))
@@ -339,17 +419,53 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                 print("No checkpoint found; starting from scratch.")
 
         def build_fns(depth):
+            import dataclasses
             static, arr = scene.build(
                 mode="volume", include_target=surface_aware,
                 max_depth=depth, rr_depth=rr_depth, print_time=print_time,
                 transmission_only=transmission_only,
                 regular_sampling=regular_sampling)
+            if med_cfg is not None:
+                static = dataclasses.replace(static, medium_grads=True)
             inv_vol = sensor.inv_volume(tb if surface_aware else None)
             mask = sensor.discretize(tb) if surface_aware else None
-            return _make_step_fns(static, arr, inv_vol, spp, spp_grad,
-                                  chunk, loss_obj, target, engine, mask)
+            fns = _make_step_fns(static, arr, inv_vol, spp, spp_grad,
+                                 chunk, loss_obj, target, engine, mask,
+                                 config.get("hybrid_estimator"))
+            if med_cfg is not None:
+                @jax.jit
+                def medium_grad_j(data, seed, arr_, iv, tgt, st, al):
+                    def f(st_, al_):
+                        a2 = dict(arr_)
+                        a2["sigma_t"] = st_
+                        a2["albedo"] = al_
+                        vol = render(static, a2, data, iv, seed, spp,
+                                     spp_grad, chunk)
+                        return loss_obj(vol, tgt, data)
+                    return jax.grad(f, argnums=(0, 1))(st, al)
+
+                fns["medium_grad"] = lambda data, seed, st, al: \
+                    medium_grad_j(data, seed, arr, inv_vol, target,
+                                  st, al)
+                fns["arr"] = arr
+            return fns
 
         fns = build_fns(3 if progressive else max_depth)
+
+        med_params = None
+        if med_cfg is not None:
+            import optax
+            med_tx = optax.adam(float(med_cfg.get("lr", 0.01)))
+            med_params = {"st": jnp.float32(scene.medium.sigma_t),
+                          "al": jnp.float32(scene.medium.albedo)}
+            med_state = med_tx.init(med_params)
+            med_opt_st = bool(med_cfg.get("sigma_t", True))
+            med_opt_al = bool(med_cfg.get("albedo", False)) and \
+                scene.medium.albedo > 0.0
+
+            def apply_medium(fns):
+                fns["arr"]["sigma_t"] = np.float32(med_params["st"])
+                fns["arr"]["albedo"] = np.float32(med_params["al"])
 
         opt = None
         opt_state = None
@@ -405,6 +521,8 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                 fns = build_fns(max_depth)
                 if opt is not None:
                     opt.rebind(fns["dir_fn"], fns["cand_fn"])
+                if med_params is not None:
+                    apply_medium(fns)
             seed = jnp.uint32(i)
 
             t0 = time_mod.perf_counter()
@@ -430,6 +548,22 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                 data = optax.apply_updates(data, updates)
                 # Clamp patterns >= 0 (optimize.py:320)
                 data = _block(jnp.maximum(data, 0.0))
+
+            if med_params is not None:
+                import optax
+                g_st, g_al = _block(fns["medium_grad"](
+                    data, seed, med_params["st"], med_params["al"]))
+                g = {"st": g_st if med_opt_st else jnp.float32(0.0),
+                     "al": g_al if med_opt_al else jnp.float32(0.0)}
+                updates, med_state = med_tx.update(g, med_state,
+                                                   med_params)
+                med_params = optax.apply_updates(med_params, updates)
+                med_params["st"] = jnp.clip(med_params["st"], 1e-5, None)
+                # keep albedo exactly 0 for non-scattering media — a
+                # positive floor would flip the final render into the
+                # scattering path without a configured phase function
+                med_params["al"] = jnp.clip(med_params["al"], 0.0, 0.999)
+                apply_medium(fns)
             timing_hist[i, 1] = time_mod.perf_counter() - t1
 
             if checkpoint_every and ((i + 1) % checkpoint_every == 0
@@ -442,6 +576,16 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
         if profile_dir:
             jax.profiler.stop_trace()
         scene.projector.active_data = data
+
+        if med_params is not None:
+            st_f = float(med_params["st"])
+            al_f = float(med_params["al"])
+            scene.medium.sigma_t = st_f
+            scene.medium.albedo = al_f
+            with open(os.path.join(output, "medium.json"), "w") as f:
+                json.dump({"sigma_t": st_f, "albedo": al_f}, f, indent=2)
+            print(f"Calibrated medium: sigma_t={st_f:.6f} "
+                  f"albedo={al_f:.4f}")
 
     # ---- final render + artifacts (optimize.py:327-366) ------------------
     print("Rendering the final dose volume...")

@@ -117,13 +117,59 @@ def test_e2e_index_matched_full(hole_mesh, tmp_path):
 
 @pytest.mark.slow
 def test_e2e_cylindrical_full(hole_mesh, tmp_path):
+    """Reference box_hole_cylindrical.json: albedo 0.5 scattering,
+    tl 0.85 / tu 0.95, 200 angles, 30 steps (>99.4% bar,
+    reference test_optimization.py:155). The hybrid engine renders the
+    unscattered transport analytically and the scattered residual with
+    the delta estimator (a variance/speed knob, not a physics change) —
+    completes in ~6 min on the 2-core CPU CI host."""
     cfg = make_config(
         hole_mesh, str(tmp_path / "out"),
         {"type": "cylindrical", "r_int": 7, "r_ext": 8, "ior": 1.54,
          "medium": {"ior": 1.40, "phase": {"type": "rayleigh"},
-                    "extinction": 0.1, "albedo": 0.5}})
+                    "extinction": 0.1, "albedo": 0.5}},
+        hybrid_estimator="delta")
     vol = run_optimize(cfg)
     check(cfg, vol, 99.4)
+
+
+def test_e2e_scattering_bounded(hole_mesh, tmp_path):
+    """Bounded scattering gate for the default suite (~90 s on a
+    2-core CPU): the reference's box_hole_scattering.json style —
+    square vial, albedo 0.9 Rayleigh, tl 0.35 / tu 0.55, filter_radon —
+    at reduced scale (128 angles, 64x16 DMD, 64^2x32 film, 15 steps,
+    spp 4 / spp_grad 8, delta residual). Calibrated agreement at this
+    scale: 94.9% — the bar gates regressions of the albedo-0.9 hybrid
+    path, not reference parity (that is the slow full test)."""
+    film = (64, 64, 32)
+    cfg = make_config(
+        hole_mesh, str(tmp_path / "out"),
+        {"type": "square", "w_int": 7.0, "w_ext": 8.0, "ior": 1.24,
+         "medium": {"ior": 1.347, "phase": {"type": "rayleigh"},
+                    "extinction": 0.09, "albedo": 0.9}},
+        n_patterns=128, resx=64, resy=16, film=film, n_steps=15, spp=4,
+        loss={"type": "threshold", "tl": 0.35, "tu": 0.55},
+        hybrid_estimator="delta", spp_grad=8, filter_radon=True)
+    cfg["projector"]["pixel_size"] = 5.0 / 64
+    vol = run_optimize(cfg)
+    check(cfg, vol, 93.0, film)
+
+
+@pytest.mark.slow
+def test_e2e_square_scattering_full(hole_mesh, tmp_path):
+    """Reference box_hole_scattering.json verbatim: square vial,
+    albedo 0.9, tl 0.35 / tu 0.55, filter_radon, spp 4 / spp_grad 16,
+    200 angles, 30 steps; >99.0% bar (test_optimization.py:153)."""
+    cfg = make_config(
+        hole_mesh, str(tmp_path / "out"),
+        {"type": "square", "w_int": 7.0, "w_ext": 8.0, "ior": 1.24,
+         "medium": {"ior": 1.347, "phase": {"type": "rayleigh"},
+                    "extinction": 0.09, "albedo": 0.9}},
+        loss={"type": "threshold", "tl": 0.35, "tu": 0.55},
+        spp=4, spp_grad=16, filter_radon=True,
+        hybrid_estimator="delta", spp_ref=16)
+    vol = run_optimize(cfg)
+    check(cfg, vol, 99.0)
 
 
 @pytest.mark.slow
