@@ -1,24 +1,38 @@
-"""Headline benchmark: the reference README workload class
-(README.md:110-135) — cylindrical vial with refraction, 400 angles,
-400x400 DMD @ 25 um, 40 Linear-L-BFGS iterations, 256^3 dose grid —
-on one TPU chip.
+"""Headline benchmarks: the reference README workload classes
+(README.md:110-135) on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": x}
-vs_baseline = L40S wall-clock for the same workload class (cylindrical
-1 rpp: 23 s, README.md:131) / ours (> 1 == faster than the L40S).
+Two workloads, both 400 angles x 400x400 DMD @ 25 um, 256^3 dose grid,
+40 Linear-L-BFGS iterations, cylindrical vial with refraction:
 
-The timed value covers the full user-visible pipeline minus jit
-compilation: scene assembly + target voxelization (native host
-voxelizer), the geometry transport precompute (native host rasterizer
-+ one device upload), and the entire 40-iteration optimization —
-which runs as ONE on-device dispatch (opt/device_lbfgs.py): primal
-render, adjoint, L-BFGS direction render, Armijo line search, clamp,
-convergence break, all inside a single jitted while_loop. jit compile
-is excluded via warm-up, mirroring how the reference's numbers
-amortize Dr.Jit's kernel cache; a persistent compilation cache under
-.jax_cache makes reruns cheap. Every phase is printed so nothing
-hides: there are no other costs before the first iteration.
+  1. ballistic (1 ray/pixel class)  — vs L40S 23 s (README.md:131)
+  2. scattering (16 rays/pixel class, albedo 0.5) — vs L40S 14 m 10 s
+     (README.md:133). Ours uses the hybrid engine: the unscattered
+     transport (>90% of the dose at albedo 0.5) is analytic matmuls
+     with ZERO Monte-Carlo noise, so the scattered residual needs far
+     fewer rays than the reference's 16 analog rays/pixel for equal
+     print quality — the quality gate below (not a ray count) is what
+     makes the comparison honest.
+
+The target is a Benchy-class phantom: 10 mm tall, 5 x 4 mm cross
+section, a 1.75 mm z-through-hole, in a vial the DMD aperture fully
+covers (r_ext 5 mm <= half the 10 mm DMD width) — the physical setup
+of a real print. QUALITY GATE: each timed optimization must reach
+best-IoU >= 0.98 under the reference's absolute threshold sweep
+(thresholds in [0, 1.3] dose units, reference utils.py:48-81); the
+script hard-fails before printing a metric otherwise, so a fast-but-
+wrong run produces no number.
+
+Prints ONE JSON line: the ballistic headline as {metric, value, unit,
+vs_baseline} plus an "extra" list carrying the scattering metric and
+the cold-start accounting. vs_baseline = L40S seconds / ours
+(> 1 == faster than the L40S).
+
+Wall-clock semantics: the timed value covers scene assembly + target
+voxelization, transport precompute + upload, and the full 40-iteration
+optimization. jit compilation is excluded via warm-up AND cached
+persistently (.jax_cache) so reruns — including fresh processes — skip
+it; the cold first-run total is reported separately in "extra" so
+nothing hides.
 """
 import json
 import os
@@ -27,37 +41,47 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# NOTE: set via jax.config, not env — the environment's sitecustomize
+# imports jax before this script runs, so JAX_COMPILATION_CACHE_DIR in
+# os.environ is read too late to take effect.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 import jax.numpy as jnp
 
-L40S_BASELINE_S = 23.0  # README.md:131, cylindrical 1 ray/pixel
+L40S_BALLISTIC_S = 23.0    # README.md:131, cylindrical 1 ray/pixel
+L40S_SCATTERING_S = 850.0  # README.md:133, cylindrical scattering 16 rpp
 
 N_ANGLES = 400
 DMD = 400
 FILM = 256
 N_STEPS = 40
+IOU_BAR = 0.98
+SCAT_SPP = 2        # hybrid scattered-residual rays/pixel (fwd and grad)
 
 
-def build_scene():
+def build_scene(albedo=0.0):
     from drtvam_tpu.models.scene import Scene
     from drtvam_tpu.ops.mesh import make_box_with_hole, save_ply
 
     mesh_path = "/tmp/bench_target.ply"
-    save_ply(make_box_with_hole((2.0, 2.0, 1.0), 0.6,
-                                hole_center_xy=(-0.8, 0.0),
+    save_ply(make_box_with_hole((1.0, 0.8, 2.0), 0.35,
+                                hole_center_xy=(-0.4, 0.0),
                                 segments=99), mesh_path)
+    med = {"ior": 1.40, "phase": {"type": "rayleigh"},
+           "extinction": 0.05, "albedo": albedo}
     cfg = {
-        "vial": {"type": "cylindrical", "r_int": 7.0, "r_ext": 7.5,
-                 "ior": 1.54,
-                 "medium": {"ior": 1.40, "phase": {"type": "rayleigh"},
-                            "extinction": 0.05, "albedo": 0.0}},
+        "vial": {"type": "cylindrical", "r_int": 4.75, "r_ext": 5.0,
+                 "ior": 1.54, "medium": med},
         "projector": {"type": "collimated", "n_patterns": N_ANGLES,
-                      "resx": DMD, "resy": DMD, "pixel_size": 25e-3,
+                      "resx": DMD, "resy": DMD,
+                      "pixel_size": 10.0 / DMD,  # 25 um at DMD=400
                       "motion": "circular", "distance": 30},
         "sensor": {"type": "dda", "scalex": 10, "scaley": 10,
                    "scalez": 10,
@@ -69,124 +93,260 @@ def build_scene():
     return Scene(cfg)
 
 
-def main():
-    from drtvam_tpu.opt.loss import ThresholdedLoss
+def phase(msg, t0):
+    dt = time.time() - t0
+    print(f"# {msg}: {dt:.2f}s", file=sys.stderr)
+    return dt
+
+
+def best_iou_abs(render_fn, p, target):
+    """Best IoU over the reference's absolute threshold sweep
+    (utils.py:48-81: 300 thresholds in [0, 1.3] dose units)."""
+    @jax.jit
+    def f(p, tgt):
+        vol = render_fn(p)[..., 0]
+        t = tgt[..., 0] > 0.5
+
+        def one(thr):
+            pred = vol > thr
+            return jnp.sum(pred & t) / jnp.maximum(jnp.sum(pred | t), 1)
+
+        thrs = jnp.linspace(0.0, 1.3, 301)
+        ious = jax.lax.map(one, thrs)
+        k = jnp.argmax(ious)
+        return ious[k], thrs[k]
+
+    i, t = f(p, target)
+    return float(i), float(t)
+
+
+def make_lbfgs_run(eng, loss_obj, inv_vol, n_steps, hybrid=False):
     from drtvam_tpu.opt.device_lbfgs import fused_linear_lbfgs
+
+    @jax.jit
+    def run(data0, ep, tgt, seed):
+        def render(p):
+            if hybrid:
+                return eng.render_vol(p, inv_vol, seed=seed, params=ep)
+            return eng.render_vol(p, inv_vol, params=ep)
+
+        def value_grad(p):
+            vol = render(p)
+            loss = loss_obj(vol, tgt, p)
+            dvol, dpat = jax.grad(
+                lambda v, q: loss_obj(v, tgt, q), argnums=(0, 1))(vol, p)
+            if hybrid:
+                grad = eng.pattern_grad(dvol, inv_vol, seed=seed,
+                                        params=ep) + dpat
+            else:
+                grad = eng.pattern_grad(dvol, inv_vol, params=ep) + dpat
+            return vol, loss, grad
+
+        def cand(vol, dvol, alpha, z):
+            return loss_obj(vol + alpha * dvol, tgt, z)
+
+        return fused_linear_lbfgs(value_grad, render, cand, data0,
+                                  n_steps)
+
+    return run
+
+
+def run_ballistic(loss_obj):
+    """Ballistic workload; returns (wall_s, iou, extras)."""
     from drtvam_tpu.ops.ballistic import BallisticEngine
 
-    def phase(msg, t0):
-        dt = time.time() - t0
-        print(f"# {msg}: {dt:.2f}s", file=sys.stderr)
-        return dt
+    t0 = time.time()
+    scene = build_scene(albedo=0.0)
+    static, arr = scene.build(mode="volume", include_target=False,
+                              max_depth=6, rr_depth=6)
+    target = jnp.asarray(scene.sensor.discretize(scene.target_bank()))
+    inv_vol = jnp.float32(1.0 / scene.sensor.voxel_volume)
+    n = scene.projector.active_size()
+    t_scene = phase("ballistic: scene+discretize (host)", t0)
 
-    # backend/tunnel handshake: process startup, not workload (the
-    # reference numbers likewise exclude CUDA context creation)
+    t0 = time.time()
+    eng = BallisticEngine(static, arr)
+    ep = eng.params()
+    jax.block_until_ready((ep["W"], target))
+    t_build = phase("ballistic: transport precompute + upload (cold)", t0)
+
+    run = make_lbfgs_run(eng, loss_obj, inv_vol, N_STEPS)
+    data0 = jnp.zeros((n,), jnp.float32)
+    seed0 = jnp.uint32(0)
+
+    t0 = time.time()
+    out = jax.block_until_ready(run(data0, ep, target, seed0))
+    t_warm = phase("ballistic: warmup (jit compile + first run)", t0)
+
+    # steady state: fresh engine build + the fused loop
+    t0 = time.time()
+    eng2 = BallisticEngine(static, arr)
+    ep2 = eng2.params()
+    jax.block_until_ready(ep2["W"])
+    t_build2 = phase("ballistic: transport precompute (steady)", t0)
+
+    t0 = time.time()
+    p_fin, loss_hist, n_done = jax.block_until_ready(
+        run(data0, ep2, target, seed0))
+    t_loop = phase(f"ballistic: fused {int(n_done)}-iter loop", t0)
+    loss_hist = np.asarray(loss_hist)
+    last = loss_hist[max(int(n_done) - 1, 0)]
+    print(f"# ballistic: loss {loss_hist[0]:.3e} -> {last:.3e}",
+          file=sys.stderr)
+
+    iou, thr = best_iou_abs(
+        lambda p: eng2.render_vol(p, inv_vol, params=ep2), p_fin, target)
+    print(f"# ballistic: best IoU {iou:.4f} @ threshold {thr:.3f}",
+          file=sys.stderr)
+
+    wall = t_scene + t_build2 + t_loop
+    extras = {"scene_s": round(t_scene, 2),
+              "precompute_s": round(t_build2, 2),
+              "loop_s": round(t_loop, 2),
+              "compile_warmup_s": round(t_warm, 2),
+              "cold_precompute_s": round(t_build, 2),
+              "iou": round(iou, 4)}
+    return wall, iou, extras
+
+
+def run_scattering(loss_obj):
+    """Scattering workload via the hybrid engine; (wall_s, iou, extras)."""
+    from drtvam_tpu.ops.hybrid import ScatteringEngine
+
+    t0 = time.time()
+    scene = build_scene(albedo=0.5)
+    static, arr = scene.build(mode="volume", include_target=False,
+                              max_depth=6, rr_depth=6)
+    target = jnp.asarray(scene.sensor.discretize(scene.target_bank()))
+    inv_vol = jnp.float32(1.0 / scene.sensor.voxel_volume)
+    n = scene.projector.active_size()
+    t_scene = phase("scattering: scene+discretize (host)", t0)
+
+    t0 = time.time()
+    eng = ScatteringEngine(static, arr, spp=SCAT_SPP, estimator="delta")
+    ep = eng.params()
+    jax.block_until_ready((ep["ball"]["W"], target))
+    t_build = phase("scattering: engine build + upload", t0)
+
+    # per-iteration dispatches (not one fused mega-dispatch): each
+    # dispatch traces 3 x n x spp rays; keeping dispatches seconds-long
+    # avoids network-transport timeouts on tunneled TPUs
+    from drtvam_tpu.opt.device_lbfgs import DeviceLinearLBFGS
+    import drtvam_tpu.opt.loss  # noqa: F401  (registry import order)
+
+    @jax.jit
+    def primal_j(data, seed, ep, tgt):
+        vol = eng.render_vol(data, inv_vol, seed=seed, params=ep)
+        return vol, loss_obj(vol, tgt, data)
+
+    @jax.jit
+    def adjoint_j(vol, data, seed, ep, tgt):
+        dvol, dpat = jax.grad(
+            lambda v, q: loss_obj(v, tgt, q), argnums=(0, 1))(vol, data)
+        return eng.pattern_grad(dvol, inv_vol, seed=seed,
+                                params=ep) + dpat
+
+    def dir_fn(z, seed, ep, tgt):
+        return eng.render_vol(z, inv_vol, seed=seed, params=ep)
+
+    def cand_fn(vol, dvol, alpha, z, seed, ep, tgt):
+        return loss_obj(vol + alpha * dvol, tgt, z)
+
+    opt = DeviceLinearLBFGS(dir_fn=dir_fn, cand_fn=cand_fn)
+
+    def optimize(n_steps):
+        data = jnp.zeros((n,), jnp.float32)
+        for i in range(n_steps):
+            seed = jnp.uint32(i)
+            vol, loss = primal_j(data, seed, ep, target)
+            grad = adjoint_j(vol, data, seed, ep, target)
+            data = jax.block_until_ready(
+                opt.step(data, grad, vol, loss,
+                         step_args=(seed, ep, target)))
+        return data, float(loss)
+
+    t0 = time.time()
+    _ = optimize(1)  # compile all step programs
+    t_warm = phase("scattering: warmup (jit compile + 1 iter)", t0)
+
+    opt2 = DeviceLinearLBFGS(dir_fn=dir_fn, cand_fn=cand_fn)
+    opt = opt2
+    t0 = time.time()
+    p_fin, last_loss = optimize(N_STEPS)
+    t_loop = phase(f"scattering: {N_STEPS}-iter loop "
+                   f"(spp {SCAT_SPP} residual)", t0)
+    print(f"# scattering: final loss {last_loss:.3e}", file=sys.stderr)
+
+    # quality gate on the EXPECTED dose (physical light is noise-free):
+    # high-spp final render, the reference's spp_ref=16 convention
+    eng_ref = ScatteringEngine(static, arr, spp=16, estimator="delta")
+    ep_ref = eng_ref.params()
+    iou, thr = best_iou_abs(
+        lambda p: eng_ref.render_vol(p, inv_vol, seed=jnp.uint32(999),
+                                     params=ep_ref), p_fin, target)
+    print(f"# scattering: best IoU {iou:.4f} @ threshold {thr:.3f} "
+          f"(spp-16 reference render)", file=sys.stderr)
+
+    wall = t_scene + t_build + t_loop
+    extras = {"scene_s": round(t_scene, 2),
+              "engine_build_s": round(t_build, 2),
+              "loop_s": round(t_loop, 2),
+              "compile_warmup_s": round(t_warm, 2),
+              "residual_spp": SCAT_SPP,
+              "iou": round(iou, 4)}
+    return wall, iou, extras
+
+
+def main():
+    from drtvam_tpu.opt.loss import ThresholdedLoss
+
     t_all = time.time()
     t0 = time.time()
     jax.block_until_ready(jnp.zeros(()))
     phase("backend init (excluded)", t0)
 
-    # ---- phase 1: scene assembly + target voxelization (host) ----------
-    t0 = time.time()
-    scene = build_scene()
-    static, arr = scene.build(mode="volume", include_target=False,
-                              max_depth=6, rr_depth=6)
-    target_np = np.asarray(scene.sensor.discretize(scene.target_bank()))
-    inv_vol = jnp.float32(1.0 / scene.sensor.voxel_volume)
     loss_obj = ThresholdedLoss({"tl": 0.9, "tu": 0.95})
-    n = scene.projector.active_size()
-    t_scene = phase(f"scene+discretize (host), rays/render={n}", t0)
 
-    # ---- phase 2: transport precompute + device upload ------------------
-    t0 = time.time()
-    eng = BallisticEngine(static, arr)
-    target = jnp.asarray(target_np)
-    ep = eng.params()
-    jax.block_until_ready((eng.W, target))
-    t_build = phase("transport precompute + upload (cold)", t0)
+    wall_b, iou_b, ext_b = run_ballistic(loss_obj)
+    assert iou_b >= IOU_BAR, \
+        f"ballistic IoU {iou_b:.4f} below the {IOU_BAR} quality bar — " \
+        "the speed number would be meaningless; failing loudly."
 
-    # ---- the fused on-device optimization ---------------------------------
-    def make_run(n_steps):
-        @jax.jit
-        def run(data0, ep, tgt):
-            def value_grad(p):
-                vol = eng.render_vol(p, inv_vol, params=ep)
-                loss = loss_obj(vol, tgt, p)
-                dvol, dpat = jax.grad(
-                    lambda v, q: loss_obj(v, tgt, q),
-                    argnums=(0, 1))(vol, p)
-                grad = eng.pattern_grad(dvol, inv_vol, params=ep) + dpat
-                return vol, loss, grad
+    skip_scat = os.environ.get("DRTVAM_BENCH_SKIP_SCATTERING") == "1"
+    if not skip_scat:
+        wall_s, iou_s, ext_s = run_scattering(loss_obj)
+        assert iou_s >= IOU_BAR, \
+            f"scattering IoU {iou_s:.4f} below the {IOU_BAR} bar."
 
-            def dir_render(z):
-                return eng.render_vol(z, inv_vol, params=ep)
+    total = time.time() - t_all
+    print(f"# first-run total incl. backend init + compiles: "
+          f"{total:.1f}s", file=sys.stderr)
 
-            def cand(vol, dvol, alpha, z):
-                return loss_obj(vol + alpha * dvol, tgt, z)
-
-            return fused_linear_lbfgs(value_grad, dir_render, cand,
-                                      data0, n_steps)
-        return run
-
-    run = make_run(N_STEPS)
-    data0 = jnp.ones((n,), jnp.float32)
-
-    t0 = time.time()
-    out = jax.block_until_ready(run(data0, ep, target))
-    t_warm = phase("warmup (jit compile + first fused run)", t0)
-
-    # ---- steady state: geometry precompute + fused 40-iter loop ---------
-    t0 = time.time()
-    eng2 = BallisticEngine(static, arr)
-    ep2 = eng2.params()
-    jax.block_until_ready(eng2.W)
-    t_build2 = phase("transport precompute + upload (steady)", t0)
-
-    t0 = time.time()
-    p_fin, loss_hist, n_done = jax.block_until_ready(
-        run(data0, ep2, target))
-    t_loop = phase(f"fused {int(n_done)}-iter loop (one dispatch)", t0)
-    loss_hist = np.asarray(loss_hist)
-    print(f"# loss {loss_hist[0]:.3e} -> {loss_hist[int(n_done) - 1]:.3e}",
-          file=sys.stderr)
-
-    # quality guard (untimed): best thresholded IoU of the final dose,
-    # the reference's print-quality metric (utils.py:48-81); full-size
-    # runs must reach ~0.98+ or the speed number is meaningless
-    @jax.jit
-    def best_iou(p, ep, tgt):
-        vol = eng.render_vol(p, inv_vol, params=ep)[..., 0]
-        t = tgt[..., 0] > 0.5
-        vmax = jnp.maximum(jnp.max(vol), 1e-30)
-
-        def one(thr):
-            pred = vol > thr * vmax
-            inter = jnp.sum(pred & t)
-            union = jnp.sum(pred | t)
-            return inter / jnp.maximum(union, 1)
-
-        thrs = jnp.linspace(0.0, 1.0, 101)
-        ious = jax.lax.map(one, thrs)
-        return jnp.max(ious)
-
-    iou_v = float(best_iou(p_fin, ep2, target))
-    print(f"# best IoU: {iou_v:.4f}", file=sys.stderr)
-
-    wall = t_scene + t_build2 + t_loop
-    print(f"# headline = scene {t_scene:.2f} + precompute {t_build2:.2f} "
-          f"+ loop {t_loop:.2f} = {wall:.2f}s (compile excluded, "
-          f"{t_warm:.1f}s once per cache)", file=sys.stderr)
-    print(f"# first-run total incl. backend init + jit compile: "
-          f"{time.time() - t_all:.1f}s", file=sys.stderr)
+    extra = [{
+        "metric": "cold first-run total (backend init + all compiles + "
+                  "both workloads)",
+        "value": round(total, 1), "unit": "s",
+    }]
+    if not skip_scat:
+        extra.insert(0, {
+            "metric": f"benchy-class cylindrical SCATTERING albedo 0.5 "
+                      f"{N_ANGLES} angles {DMD}x{DMD} DMD {FILM}^3 film "
+                      f"{N_STEPS}-iter LinearLBFGS (hybrid engine, "
+                      f"residual spp {SCAT_SPP}; quality-gated IoU>="
+                      f"{IOU_BAR})",
+            "value": round(wall_s, 3), "unit": "s",
+            "vs_baseline": round(L40S_SCATTERING_S / wall_s, 3),
+            **ext_s})
 
     print(json.dumps({
         "metric": f"benchy-class cylindrical {N_ANGLES} angles "
-                  f"{DMD}x{DMD} DMD 1rpp {FILM}^3 film "
-                  f"{N_STEPS}-iter LinearLBFGS wall-clock incl. scene "
-                  f"prep (1 TPU chip)",
-        "value": round(wall, 3),
+                  f"{DMD}x{DMD} DMD 1rpp {FILM}^3 film {N_STEPS}-iter "
+                  f"LinearLBFGS wall-clock incl. scene prep "
+                  f"(1 TPU chip; quality-gated IoU>={IOU_BAR})",
+        "value": round(wall_b, 3),
         "unit": "s",
-        "vs_baseline": round(L40S_BASELINE_S / wall, 3),
+        "vs_baseline": round(L40S_BALLISTIC_S / wall_b, 3),
+        "extra": extra + [ext_b],
     }))
 
 
