@@ -127,11 +127,15 @@ class Scene:
         sensor = sensor if sensor is not None else self.sensor
         specs = self._surface_specs(include_target)
 
+        from ..ops.mesh_grid import (TriGridStatic, build_tri_grid,
+                                     GRID_MIN_TRIS)
         statics, params, etas = [], [], []
         tri_v0, tri_e1, tri_e2, tri_n = [], [], [], []
-        tri_cursor = 0
+        grid_cs, grid_ids, grid_bbox = [], [], []
+        tri_cursor = cs_cursor = ids_cursor = 0
         for s in specs:
             tri_slice = (0, 0)
+            grid = None
             if s.kind == MESH:
                 v0, e1, e2, n = s.mesh.triangle_bank()
                 tri_v0.append(v0)
@@ -140,9 +144,22 @@ class Scene:
                 tri_n.append(n)
                 tri_slice = (tri_cursor, v0.shape[0])
                 tri_cursor += v0.shape[0]
+                if v0.shape[0] >= GRID_MIN_TRIS:
+                    # uniform-grid acceleration: the in-kernel BVH
+                    # replacement for Benchy-class meshes
+                    res, cs, ids, gb0, gb1 = build_tri_grid(v0, e1, e2)
+                    grid = TriGridStatic(
+                        res=res, cell_offset=cs_cursor,
+                        ids_offset=ids_cursor, n_ids=ids.shape[0],
+                        bbox_row=len(grid_bbox))
+                    grid_cs.append(cs)
+                    grid_ids.append(ids)
+                    grid_bbox.append(np.stack([gb0, gb1]))
+                    cs_cursor += cs.shape[0]
+                    ids_cursor += ids.shape[0]
             statics.append(SurfaceStatic(
                 kind=s.kind, bsdf=s.bsdf, medium_side=s.medium_side,
-                is_target=s.is_target, tri_slice=tri_slice))
+                is_target=s.is_target, tri_slice=tri_slice, grid=grid))
             params.append(s.params)
             etas.append(s.eta)
 
@@ -152,6 +169,10 @@ class Scene:
             tri_e1 = [np.zeros((1, 3), np.float32)]
             tri_e2 = [np.zeros((1, 3), np.float32)]
             tri_n = [np.zeros((1, 3), np.float32)]
+        if cs_cursor == 0:
+            grid_cs = [np.zeros((1,), np.int32)]
+            grid_ids = [np.zeros((1,), np.int32)]
+            grid_bbox = [np.zeros((2, 3), np.float32)]
 
         m = self.medium
         static = MarchStatic(
@@ -179,6 +200,9 @@ class Scene:
             "tri_e1": np.concatenate(tri_e1).astype(np.float32),
             "tri_e2": np.concatenate(tri_e2).astype(np.float32),
             "tri_n": np.concatenate(tri_n).astype(np.float32),
+            "grid_cell_start": np.concatenate(grid_cs).astype(np.int32),
+            "grid_tri_ids": np.concatenate(grid_ids).astype(np.int32),
+            "grid_bbox": np.stack(grid_bbox).astype(np.float32),
             "bbox_min": np.asarray(sensor.bbox_min, np.float32),
             "bbox_max": np.asarray(sensor.bbox_max, np.float32),
             "sigma_t": np.float32(m.sigma_t),

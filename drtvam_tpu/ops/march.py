@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from ..core.rng import Sampler
 from .intersect import ray_cylinder, ray_box, ray_triangles
+from .mesh_grid import TriGridStatic, ray_triangles_grid
 from .fresnel import refract
 from .medium import sample_phase_direction, sample_free_flight
 from ..models.projector import ProjectorStatic, sample_rays, ray_weight
@@ -60,6 +61,9 @@ class SurfaceStatic:
     medium_side: int     # 0 none, 1 interior is medium, 2 exterior
     is_target: bool
     tri_slice: Tuple[int, int]  # (start, count) into the triangle bank
+    # uniform-grid acceleration for large meshes (ops/mesh_grid.py);
+    # None = brute-force bank sweep (tiny meshes)
+    grid: Optional[TriGridStatic] = None
 
 
 @dataclass(frozen=True)
@@ -114,10 +118,26 @@ def intersect_scene(static: MarchStatic, arr, o, d, active):
             t, n = ray_box(o, d, tmin, arr["surf_params"][i, :3])
         else:
             a, c = s.tri_slice
-            t, tri = ray_triangles(o, d, tmin,
-                                   arr["tri_v0"][a:a + c],
-                                   arr["tri_e1"][a:a + c],
-                                   arr["tri_e2"][a:a + c])
+            if s.grid is not None:
+                g = s.grid
+                n_cells = g.res[0] * g.res[1] * g.res[2]
+                t, tri = ray_triangles_grid(
+                    o, d, tmin,
+                    arr["tri_v0"][a:a + c],
+                    arr["tri_e1"][a:a + c],
+                    arr["tri_e2"][a:a + c],
+                    arr["grid_cell_start"][g.cell_offset:
+                                           g.cell_offset + n_cells + 1],
+                    arr["grid_tri_ids"][g.ids_offset:
+                                        g.ids_offset + g.n_ids],
+                    arr["grid_bbox"][g.bbox_row, 0],
+                    arr["grid_bbox"][g.bbox_row, 1],
+                    g.res)
+            else:
+                t, tri = ray_triangles(o, d, tmin,
+                                       arr["tri_v0"][a:a + c],
+                                       arr["tri_e1"][a:a + c],
+                                       arr["tri_e2"][a:a + c])
             n = arr["tri_n"][a:a + c][jnp.clip(tri, 0, c - 1)]
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
