@@ -79,6 +79,14 @@ class Scene:
 
         self.projector = Projector(config["projector"], resolve_path)
         self.sensor = Sensor(config["sensor"])
+        if self.target_dose is not None:
+            want = self.sensor.static.shape  # (Z, Y, X, C)
+            got = self.target_dose.shape
+            if got[:3] != want[:3]:
+                raise ValueError(
+                    f"target dose_npy volume has shape {got[:3]} but the "
+                    f"sensor film is (resz, resy, resx) = {want[:3]}; "
+                    "they must match voxel-for-voxel")
         self.final_sensor = Sensor(config["final_sensor"]) \
             if "final_sensor" in config else self.sensor
         if self.final_sensor.surface_aware:

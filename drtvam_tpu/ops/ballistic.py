@@ -31,6 +31,18 @@ from .march import MarchStatic
 __all__ = ["BallisticEngine", "ballistic_eligible"]
 
 
+def _now():
+    import time
+    return time.perf_counter()
+
+
+def _build_log(stage, detail, t0):
+    import sys
+    d = f" [{detail}]" if detail else ""
+    print(f"#   engine build: {stage}{d}: {_now() - t0:.2f}s",
+          file=sys.stderr)
+
+
 def _default_impl():
     try:
         if jax.devices()[0].platform == "cpu":
@@ -98,10 +110,20 @@ class BallisticEngine:
             on_cpu = True
         choice = os.environ.get("DRTVAM_NATIVE_TRANSPORT", "auto")
         use_native = choice != "0"
+        # DRTVAM_BUILD_LOG=1: stderr breadcrumbs naming the transport
+        # builder that ran and timing rasterize / quantize / upload
+        # separately, so precompute-time regressions are diagnosable
+        # from the bench artifact alone
+        log = _build_log if os.environ.get("DRTVAM_BUILD_LOG") == "1" \
+            else (lambda *_: None)
+        t0 = _now()
         native = None
         if use_native:
             from ..native import build_transport_native
             native = build_transport_native(static2, arr2, supersample)
+        log("transport builder", "native C++" if native is not None
+            else "jitted device", t0)
+        t0 = _now()
         if native is not None:
             # host numpy end-to-end: Umap derived on host, then ONE
             # one-way upload. No device round trips — over a network-
@@ -120,9 +142,14 @@ class BallisticEngine:
                 Wq = Wn.astype(ml_dtypes.bfloat16)
                 Uq = np.round((Un + 4.0) * 64.0).clip(0, 65535) \
                     .astype(np.uint16)
+                log("quantize (host)", "", t0)
+                t0 = _now()
                 self.W = jnp.asarray(Wq).astype(jnp.float32)
                 self.Umap = jnp.asarray(Uq).astype(jnp.float32) / 64.0 \
                     - 4.0
+                jax.block_until_ready((self.W, self.Umap))
+                log("upload + decode", "", t0)
+                t0 = _now()
         else:
             # ship ONLY the fields the 2D trace reads: the full dict
             # carries the 64M-entry pattern store, a ~0.5 GB upload per
@@ -136,6 +163,8 @@ class BallisticEngine:
         Szn = np.asarray(build_z_resample(static, arr))
         self.Sz = jnp.asarray(Szn)
         self._build_z_taps(Szn)
+        log("z-resample + taps", "", t0)
+        t0 = _now()
         p = static.projector
         # ray weight: pixel_area * print_time, spp=1 (projector.py:184-188
         # + common.py:111); the dose stays "raw" — inv_vol applied by the
@@ -177,6 +206,7 @@ class BallisticEngine:
                 self.impl = ("pallas_band_bf16"
                              if self.impl.endswith("bf16")
                              else "pallas_band")
+            log("band-span check (jit + sync)", "", t0)
         # parallel.shard.shard_ballistic_engine replaces this with an
         # angle-sharded mesh implementation
         self._sharded_bp = None

@@ -493,7 +493,7 @@ def delta_segment(static, arr, primal, acc, g, dL, o, d, t_prev, mei_t,
         gathered = jnp.where(mask, dL[jnp.where(mask, flat, 0)], 0.0)
         hist_em = hist * em
         ss = arr["albedo"] * st
-        c_full = contrib * em if primal else hist_em * sa_over_st
+        c_full = hist_em * sa_over_st
         H3 = hist_em / st
         t_m = jnp.where(jnp.isfinite(mei_t), mei_t, 0.0)
         dst = -c_full * (t_prev + t_m) + H3

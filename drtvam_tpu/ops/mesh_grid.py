@@ -192,7 +192,9 @@ def ray_triangles_grid(o, d, tmin, v0, e1, e2, cell_start, tri_ids,
             k, tb, ib = ic
             idx = s[:, None] + k * chunk + jnp.arange(chunk,
                                                       dtype=jnp.int32)
-            valid = idx < e[:, None]
+            # bound by the alive-masked count so dead lanes stop
+            # gathering/re-testing their stale cell's triangles
+            valid = idx < (s + cnt)[:, None]
             ids = tri_ids[jnp.clip(idx, 0, n_ids - 1)]
             tb, ib = mt_test(ids, valid, tb, ib)
             return (k + 1, tb, ib)

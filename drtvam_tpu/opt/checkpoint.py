@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 
 def save_checkpoint(output, step, data, active_pixels, loss_hist,
-                    timing_hist, optim_type, opt=None, opt_state=None):
+                    timing_hist, optim_type, opt=None, opt_state=None,
+                    med_params=None, med_state=None):
     """Atomically write `checkpoint.npz` into the output directory."""
     d = {
         "step": np.int64(step),
@@ -42,6 +43,15 @@ def save_checkpoint(output, step, data, active_pixels, loss_hist,
         d["opt_n_leaves"] = np.int64(len(leaves))
         for i, leaf in enumerate(leaves):
             d[f"opt_leaf_{i}"] = np.asarray(leaf)
+    if med_params is not None:
+        # calibrated medium state: without it a resumed optimize_medium
+        # run would silently reset sigma_t/albedo to the config values
+        d["med_st"] = np.asarray(med_params["st"])
+        d["med_al"] = np.asarray(med_params["al"])
+        leaves = jax.tree_util.tree_leaves(med_state)
+        d["med_n_leaves"] = np.int64(len(leaves))
+        for i, leaf in enumerate(leaves):
+            d[f"med_leaf_{i}"] = np.asarray(leaf)
     path = os.path.join(output, "checkpoint.npz")
     tmp = path + ".tmp.npz"
     np.savez(tmp, **d)
@@ -72,3 +82,16 @@ def restore_opt_state(ckpt, optim_type, opt=None, opt_state=None):
     leaves = [jnp.asarray(ckpt[f"opt_leaf_{i}"]) for i in range(n)]
     treedef = jax.tree_util.tree_structure(opt_state)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def restore_med_state(ckpt, med_state):
+    """Return (med_params, med_state) from the checkpoint, or None if it
+    predates / never had medium calibration."""
+    if "med_st" not in ckpt:
+        return None
+    med_params = {"st": jnp.asarray(ckpt["med_st"]),
+                  "al": jnp.asarray(ckpt["med_al"])}
+    n = int(ckpt["med_n_leaves"])
+    leaves = [jnp.asarray(ckpt[f"med_leaf_{i}"]) for i in range(n)]
+    treedef = jax.tree_util.tree_structure(med_state)
+    return med_params, jax.tree_util.tree_unflatten(treedef, leaves)

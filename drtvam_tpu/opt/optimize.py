@@ -240,6 +240,8 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
     med_cfg = config.get("optimize_medium", None)
     if med_cfg is True:
         med_cfg = {}
+    elif not med_cfg:  # false / null / {} all disable calibration
+        med_cfg = None
     if med_cfg is not None:
         if engine in ("ballistic", "hybrid"):
             raise ValueError(
@@ -510,6 +512,12 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                                           opt_state)
             if new_state is not None:
                 opt_state = new_state
+            if med_params is not None:
+                from .checkpoint import restore_med_state
+                med = restore_med_state(resume_ckpt, med_state)
+                if med is not None:
+                    med_params, med_state = med
+                    apply_medium(fns)
             if progressive and start_step >= 5:
                 fns = build_fns(max_depth)
                 if opt is not None:
@@ -571,7 +579,10 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
                 from .checkpoint import save_checkpoint
                 save_checkpoint(output, i, data,
                                 scene.projector.active_pixels, loss_hist,
-                                timing_hist, optim_type, opt, opt_state)
+                                timing_hist, optim_type, opt, opt_state,
+                                med_params=med_params,
+                                med_state=(med_state if med_params
+                                           is not None else None))
 
         if profile_dir:
             jax.profiler.stop_trace()
@@ -623,26 +634,23 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
 # CLI (optimize.py:373-445)
 
 
-class OverrideAction(argparse.Action):
-    def __init__(self, option_strings, dest, nargs=None, **kwargs):
-        super().__init__(option_strings, dest, **kwargs)
-        self.overrides = {}
+def parse_overrides(pairs):
+    """`-D a.b.c=value` strings -> {dotted_key: coerced_value}.
 
-    def __call__(self, parser, namespace, values, option_string=None):
+    Values go through json.loads, so numbers, booleans, null, and quoted
+    strings all coerce naturally; anything that isn't valid JSON stays a
+    plain string (e.g. `-D vial.type=square`)."""
+    out = {}
+    for item in pairs or []:
+        key, sep, raw = item.partition("=")
+        if not sep or not key:
+            raise ValueError(f"override '{item}' is not of the form "
+                             "key=value")
         try:
-            key, value = values.split("=")
-        except ValueError:
-            raise ValueError(
-                f"override '{values}' is not of the form key=value")
-        try:
-            value = int(value)
-        except ValueError:
-            try:
-                value = float(value)
-            except ValueError:
-                pass
-        self.overrides[key] = value
-        setattr(namespace, self.dest, self.overrides)
+            out[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            out[key] = raw
+    return out
 
 
 def make_resolver(base_dir):
@@ -659,7 +667,7 @@ def main(argv=None):
     parser.add_argument("config", type=str,
                         help="Path to the configuration file")
     parser.add_argument("-D", dest="overrides", metavar="key=value",
-                        action=OverrideAction,
+                        action="append", default=[],
                         help="Override/Add a parameter in the configuration "
                         "dictionary. Nested keys are separated by dots.")
     parser.add_argument("--backend", type=str, default=None,
@@ -680,8 +688,8 @@ def main(argv=None):
     with open(args.config, "r") as f:
         config = json.load(f)
 
-    if args.overrides is not None:
-        for key, value in args.overrides.items():
+    if args.overrides:
+        for key, value in parse_overrides(args.overrides).items():
             key = key.split(".")
             tmp = config
             for k in key[:-1]:
