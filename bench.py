@@ -43,6 +43,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# per-stage engine-build breadcrumbs on stderr so precompute-time
+# regressions are diagnosable from the recorded bench tail alone
+os.environ.setdefault("DRTVAM_BUILD_LOG", "1")
+
 import jax
 
 # NOTE: set via jax.config, not env — the environment's sitecustomize
@@ -57,6 +61,8 @@ import jax.numpy as jnp
 
 L40S_BALLISTIC_S = 23.0    # README.md:131, cylindrical 1 ray/pixel
 L40S_SCATTERING_S = 850.0  # README.md:133, cylindrical scattering 16 rpp
+L40S_SURFACE_S = 225.0     # README.md:135, square scattering +
+#                            surface-aware loss + black-pixel culling
 
 N_ANGLES = 400
 DMD = 400
@@ -66,7 +72,7 @@ IOU_BAR = 0.98
 SCAT_SPP = 2        # hybrid scattered-residual rays/pixel (fwd and grad)
 
 
-def build_scene(albedo=0.0):
+def build_scene(albedo=0.0, square=False, surface_aware=False):
     from drtvam_tpu.models.scene import Scene
     from drtvam_tpu.ops.mesh import make_box_with_hole, save_ply
 
@@ -76,17 +82,26 @@ def build_scene(albedo=0.0):
                                 segments=99), mesh_path)
     med = {"ior": 1.40, "phase": {"type": "rayleigh"},
            "extinction": 0.05, "albedo": albedo}
+    if square:
+        # inner width 6.8 mm: the 10 mm DMD aperture covers the vial
+        # except the extreme corners at 45 deg rotation (real-setup
+        # geometry; the target stays fully covered)
+        vial = {"type": "square", "w_int": 6.8, "w_ext": 7.2,
+                "ior": 1.54, "medium": med}
+    else:
+        vial = {"type": "cylindrical", "r_int": 4.75, "r_ext": 5.0,
+                "ior": 1.54, "medium": med}
+    film = {"type": "vfilm", "resx": FILM, "resy": FILM, "resz": FILM}
+    if surface_aware:
+        film["surface_aware"] = True
     cfg = {
-        "vial": {"type": "cylindrical", "r_int": 4.75, "r_ext": 5.0,
-                 "ior": 1.54, "medium": med},
+        "vial": vial,
         "projector": {"type": "collimated", "n_patterns": N_ANGLES,
                       "resx": DMD, "resy": DMD,
                       "pixel_size": 10.0 / DMD,  # 25 um at DMD=400
                       "motion": "circular", "distance": 30},
         "sensor": {"type": "dda", "scalex": 10, "scaley": 10,
-                   "scalez": 10,
-                   "film": {"type": "vfilm", "resx": FILM, "resy": FILM,
-                            "resz": FILM}},
+                   "scalez": 10, "film": film},
         "target": {"filename": mesh_path, "size": 10.0},
         "output": "/tmp",
     }
@@ -99,12 +114,17 @@ def phase(msg, t0):
     return dt
 
 
-def best_iou_abs(render_fn, p, target):
+def best_iou_abs(render_fn, p, target, *args):
     """Best IoU over the reference's absolute threshold sweep
-    (utils.py:48-81: 300 thresholds in [0, 1.3] dose units)."""
+    (utils.py:48-81: 300 thresholds in [0, 1.3] dose units).
+
+    Engine params MUST flow through *args -> render_fn(p, *args):
+    closure-captured device arrays are baked into the jitted HLO as
+    constants, which blows the tunneled-TPU remote-compile payload
+    limit (HTTP 413) at bench scale."""
     @jax.jit
-    def f(p, tgt):
-        vol = render_fn(p)[..., 0]
+    def f(p, tgt, *args):
+        vol = render_fn(p, *args)[..., 0]
         t = tgt[..., 0] > 0.5
 
         def one(thr):
@@ -116,7 +136,7 @@ def best_iou_abs(render_fn, p, target):
         k = jnp.argmax(ious)
         return ious[k], thrs[k]
 
-    i, t = f(p, target)
+    i, t = f(p, target, *args)
     return float(i), float(t)
 
 
@@ -195,7 +215,8 @@ def run_ballistic(loss_obj):
           file=sys.stderr)
 
     iou, thr = best_iou_abs(
-        lambda p: eng2.render_vol(p, inv_vol, params=ep2), p_fin, target)
+        lambda p, ep: eng2.render_vol(p, inv_vol, params=ep),
+        p_fin, target, ep2)
     print(f"# ballistic: best IoU {iou:.4f} @ threshold {thr:.3f}",
           file=sys.stderr)
 
@@ -205,8 +226,69 @@ def run_ballistic(loss_obj):
               "loop_s": round(t_loop, 2),
               "compile_warmup_s": round(t_warm, 2),
               "cold_precompute_s": round(t_build, 2),
+              "iters_run": int(n_done),
               "iou": round(iou, 4)}
     return wall, iou, extras
+
+
+def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None):
+    """Shared per-iteration-dispatch LinearLBFGS loop for the hybrid
+    engine workloads. Returns (p_final, warmup_s, loop_s)."""
+    from drtvam_tpu.opt.device_lbfgs import DeviceLinearLBFGS
+    import drtvam_tpu.opt.loss  # noqa: F401  (registry import order)
+
+    if ep is None:
+        ep = eng.params()
+
+    # inv_vol rides as a jit ARGUMENT: for surface-aware films it is a
+    # (Z, Y, X, 2) per-voxel array that must not be baked into the HLO
+    # (tunneled-TPU remote-compile payload limit)
+    @jax.jit
+    def primal_j(data, seed, ep, iv, tgt):
+        vol = eng.render_vol(data, iv, seed=seed, params=ep)
+        return vol, loss_obj(vol, tgt, data)
+
+    @jax.jit
+    def adjoint_j(vol, data, seed, ep, iv, tgt):
+        dvol, dpat = jax.grad(
+            lambda v, q: loss_obj(v, tgt, q), argnums=(0, 1))(vol, data)
+        return eng.pattern_grad(dvol, iv, seed=seed,
+                                params=ep) + dpat
+
+    def dir_fn(z, seed, ep, iv, tgt):
+        return eng.render_vol(z, iv, seed=seed, params=ep)
+
+    def cand_fn(vol, dvol, alpha, z, seed, ep, iv, tgt):
+        return loss_obj(vol + alpha * dvol, tgt, z)
+
+    # bf16 S/Yh history: at n = 64M the f32 history alone is 2.6 GB of
+    # the 16 GB HBM (r03 OOM'd here); the step state is also donated so
+    # the circular-slot insert updates in place instead of copying
+    def make_opt():
+        return DeviceLinearLBFGS(dir_fn=dir_fn, cand_fn=cand_fn,
+                                 history_dtype=jnp.bfloat16)
+
+    def optimize(opt, n_steps):
+        data = jnp.zeros((n,), jnp.float32)
+        for i in range(n_steps):
+            seed = jnp.uint32(i)
+            vol, loss = primal_j(data, seed, ep, inv_vol, target)
+            grad = adjoint_j(vol, data, seed, ep, inv_vol, target)
+            data = jax.block_until_ready(
+                opt.step(data, grad, vol, loss,
+                         step_args=(seed, ep, inv_vol, target)))
+        return data, float(loss)
+
+    t0 = time.time()
+    _ = optimize(make_opt(), 1)  # compile all step programs
+    t_warm = phase(f"{tag}: warmup (jit compile + 1 iter)", t0)
+
+    t0 = time.time()
+    p_fin, last_loss = optimize(make_opt(), N_STEPS)
+    t_loop = phase(f"{tag}: {N_STEPS}-iter loop "
+                   f"(spp {SCAT_SPP} residual)", t0)
+    print(f"# {tag}: final loss {last_loss:.3e}", file=sys.stderr)
+    return p_fin, t_warm, t_loop
 
 
 def run_scattering(loss_obj):
@@ -231,61 +313,21 @@ def run_scattering(loss_obj):
     # per-iteration dispatches (not one fused mega-dispatch): each
     # dispatch traces 3 x n x spp rays; keeping dispatches seconds-long
     # avoids network-transport timeouts on tunneled TPUs
-    from drtvam_tpu.opt.device_lbfgs import DeviceLinearLBFGS
-    import drtvam_tpu.opt.loss  # noqa: F401  (registry import order)
-
-    @jax.jit
-    def primal_j(data, seed, ep, tgt):
-        vol = eng.render_vol(data, inv_vol, seed=seed, params=ep)
-        return vol, loss_obj(vol, tgt, data)
-
-    @jax.jit
-    def adjoint_j(vol, data, seed, ep, tgt):
-        dvol, dpat = jax.grad(
-            lambda v, q: loss_obj(v, tgt, q), argnums=(0, 1))(vol, data)
-        return eng.pattern_grad(dvol, inv_vol, seed=seed,
-                                params=ep) + dpat
-
-    def dir_fn(z, seed, ep, tgt):
-        return eng.render_vol(z, inv_vol, seed=seed, params=ep)
-
-    def cand_fn(vol, dvol, alpha, z, seed, ep, tgt):
-        return loss_obj(vol + alpha * dvol, tgt, z)
-
-    opt = DeviceLinearLBFGS(dir_fn=dir_fn, cand_fn=cand_fn)
-
-    def optimize(n_steps):
-        data = jnp.zeros((n,), jnp.float32)
-        for i in range(n_steps):
-            seed = jnp.uint32(i)
-            vol, loss = primal_j(data, seed, ep, target)
-            grad = adjoint_j(vol, data, seed, ep, target)
-            data = jax.block_until_ready(
-                opt.step(data, grad, vol, loss,
-                         step_args=(seed, ep, target)))
-        return data, float(loss)
-
-    t0 = time.time()
-    _ = optimize(1)  # compile all step programs
-    t_warm = phase("scattering: warmup (jit compile + 1 iter)", t0)
-
-    opt2 = DeviceLinearLBFGS(dir_fn=dir_fn, cand_fn=cand_fn)
-    opt = opt2
-    t0 = time.time()
-    p_fin, last_loss = optimize(N_STEPS)
-    t_loop = phase(f"scattering: {N_STEPS}-iter loop "
-                   f"(spp {SCAT_SPP} residual)", t0)
-    print(f"# scattering: final loss {last_loss:.3e}", file=sys.stderr)
+    p_fin, t_warm, t_loop = hybrid_lbfgs_opt(
+        eng, loss_obj, inv_vol, target, n, tag="scattering", ep=ep)
 
     # quality gate on the EXPECTED dose (physical light is noise-free):
-    # high-spp final render, the reference's spp_ref=16 convention
-    eng_ref = ScatteringEngine(static, arr, spp=16, estimator="delta")
-    ep_ref = eng_ref.params()
-    iou, thr = best_iou_abs(
-        lambda p: eng_ref.render_vol(p, inv_vol, seed=jnp.uint32(999),
-                                     params=ep_ref), p_fin, target)
+    # spp-16 final renders (the reference's spp_ref convention), averaged
+    # over 3 seeds so MC noise near the bar can't flake the gate. The
+    # engine's transport fields are spp-independent — reuse it.
+    def gate_render(p, ep):
+        vols = [eng.render_vol(p, inv_vol, seed=jnp.uint32(990 + k),
+                               params=ep, spp=16) for k in range(3)]
+        return sum(vols) / 3.0
+
+    iou, thr = best_iou_abs(gate_render, p_fin, target, ep)
     print(f"# scattering: best IoU {iou:.4f} @ threshold {thr:.3f} "
-          f"(spp-16 reference render)", file=sys.stderr)
+          f"(3x spp-16 reference renders)", file=sys.stderr)
 
     wall = t_scene + t_build + t_loop
     extras = {"scene_s": round(t_scene, 2),
@@ -297,7 +339,99 @@ def run_scattering(loss_obj):
     return wall, iou, extras
 
 
+def run_surface_aware():
+    """README.md:135 class: square vial, scattering albedo 0.5,
+    SURFACE-AWARE 2-channel loss, black-pixel (Radon) culling —
+    vs L40S 3 m 45 s. Returns (wall_s, iou, extras)."""
+    from drtvam_tpu.ops.hybrid import ScatteringEngine
+    from drtvam_tpu.ops.render import render_radon
+    from drtvam_tpu.opt.loss import ThresholdedLoss
+
+    t0 = time.time()
+    scene = build_scene(albedo=0.5, square=True, surface_aware=True)
+    tb = scene.target_bank()
+    sensor = scene.sensor
+    # surface-aware target = per-voxel (inside, outside) fractional
+    # volumes (reference sensor.py:47-110); per-voxel 1/volume weights
+    target = jnp.asarray(np.asarray(sensor.compute_volume(tb)))
+    inv_vol = jnp.asarray(sensor.inv_volume(tb))
+    mask = np.asarray(sensor.discretize(tb))
+    t_scene = phase("surface-aware: scene + fractional volumes", t0)
+
+    # black-pixel culling (reference optimize.py:143-163): one Radon
+    # wavefront render, keep only DMD pixels whose rays cross the target
+    t0 = time.time()
+    static_r, arr_r = scene.build(mode="radon", include_target=True,
+                                  max_depth=5, rr_depth=6)
+    img = np.asarray(jax.block_until_ready(
+        render_radon(static_r, arr_r, seed=0, spp=4)))
+    active = np.nonzero(img > 0.0)[0].astype(np.int32)
+    assert active.size > 0
+    scene.projector.set_active(active,
+                               np.zeros(active.size, np.float32))
+    n = active.size
+    kept = 100.0 * n / (N_ANGLES * DMD * DMD)
+    t_cull = phase(f"surface-aware: radon culling ({kept:.1f}% of "
+                   "pixels kept)", t0)
+
+    t0 = time.time()
+    static, arr = scene.build(mode="volume", include_target=True,
+                              max_depth=6, rr_depth=6)
+    eng = ScatteringEngine(static, arr, spp=SCAT_SPP,
+                           estimator="delta", inside_mask=mask)
+    ep = eng.params()
+    jax.block_until_ready(ep["ball"]["W"])
+    t_build = phase("surface-aware: engine build + upload", t0)
+
+    loss_obj = ThresholdedLoss({"tl": 0.9, "tu": 0.95})
+    p_fin, t_warm, t_loop = hybrid_lbfgs_opt(
+        eng, loss_obj, inv_vol, target, n, tag="surface-aware", ep=ep)
+
+    # gate: physical dose density per voxel = the channel the voxel
+    # belongs to; IoU vs the binary occupancy under the absolute sweep
+    mask_j = jnp.asarray(mask, jnp.float32)
+
+    def gate_render(p, ep, iv, mask_j):
+        vols = [eng.render_vol(p, iv, seed=jnp.uint32(990 + k),
+                               params=ep, spp=16) for k in range(3)]
+        v = sum(vols) / 3.0
+        combined = jnp.where(mask_j > 0.5, v[..., 0], v[..., 1])
+        return combined[..., None]
+
+    iou, thr = best_iou_abs(gate_render, p_fin, mask_j[..., None],
+                            ep, inv_vol, mask_j)
+    print(f"# surface-aware: best IoU {iou:.4f} @ threshold {thr:.3f} "
+          f"(3x spp-16 reference renders)", file=sys.stderr)
+
+    wall = t_scene + t_cull + t_build + t_loop
+    extras = {"scene_s": round(t_scene, 2),
+              "culling_s": round(t_cull, 2),
+              "engine_build_s": round(t_build, 2),
+              "loop_s": round(t_loop, 2),
+              "compile_warmup_s": round(t_warm, 2),
+              "pixels_kept_pct": round(kept, 2),
+              "residual_spp": SCAT_SPP,
+              "iou": round(iou, 4)}
+    return wall, iou, extras
+
+
+def ballistic_metric(wall_b, ext_b, extra):
+    return {
+        "metric": f"benchy-class (phantom rev r03) cylindrical "
+                  f"{N_ANGLES} angles {DMD}x{DMD} DMD 1rpp {FILM}^3 "
+                  f"film LinearLBFGS to convergence "
+                  f"({ext_b['iters_run']}/{N_STEPS} iters) wall-clock "
+                  f"incl. scene prep (1 TPU chip; quality-gated "
+                  f"IoU>={IOU_BAR})",
+        "value": round(wall_b, 3),
+        "unit": "s",
+        "vs_baseline": round(L40S_BALLISTIC_S / wall_b, 3),
+        "extra": extra,
+    }
+
+
 def main():
+    import gc
     from drtvam_tpu.opt.loss import ThresholdedLoss
 
     t_all = time.time()
@@ -312,42 +446,60 @@ def main():
         f"ballistic IoU {iou_b:.4f} below the {IOU_BAR} quality bar — " \
         "the speed number would be meaningless; failing loudly."
 
+    # emit the ballistic result NOW: if the scattering phase dies, this
+    # line is already on stdout (r03 lost its ballistic number to a
+    # scattering crash). On success the final combined line, printed
+    # last, supersedes it.
+    print(json.dumps(ballistic_metric(wall_b, ext_b, [ext_b])),
+          flush=True)
+
+    extra = []
     skip_scat = os.environ.get("DRTVAM_BENCH_SKIP_SCATTERING") == "1"
     if not skip_scat:
+        gc.collect()  # drop the ballistic phase's engines/executables
         wall_s, iou_s, ext_s = run_scattering(loss_obj)
         assert iou_s >= IOU_BAR, \
             f"scattering IoU {iou_s:.4f} below the {IOU_BAR} bar."
+        extra.append({
+            "metric": f"benchy-class (phantom rev r03) cylindrical "
+                      f"SCATTERING albedo 0.5 "
+                      f"{N_ANGLES} angles {DMD}x{DMD} DMD {FILM}^3 film "
+                      f"{N_STEPS}-iter LinearLBFGS (hybrid engine, "
+                      f"residual spp {SCAT_SPP}; quality-gated IoU>="
+                      f"{IOU_BAR}) vs L40S 14m10s",
+            "value": round(wall_s, 3), "unit": "s",
+            "vs_baseline": round(L40S_SCATTERING_S / wall_s, 3),
+            **ext_s})
+        # checkpoint the two-metric result before the third workload
+        print(json.dumps(ballistic_metric(wall_b, ext_b,
+                                          extra + [ext_b])), flush=True)
+
+        gc.collect()
+        wall_sa, iou_sa, ext_sa = run_surface_aware()
+        assert iou_sa >= IOU_BAR, \
+            f"surface-aware IoU {iou_sa:.4f} below the {IOU_BAR} bar."
+        extra.append({
+            "metric": f"benchy-class (phantom rev r03) square SCATTERING"
+                      f" albedo 0.5 + SURFACE-AWARE loss + Radon-culled "
+                      f"black pixels, {N_ANGLES} angles {DMD}x{DMD} DMD "
+                      f"{FILM}^3 film {N_STEPS}-iter LinearLBFGS "
+                      f"(hybrid engine, residual spp {SCAT_SPP}; "
+                      f"quality-gated IoU>={IOU_BAR}) vs L40S 3m45s",
+            "value": round(wall_sa, 3), "unit": "s",
+            "vs_baseline": round(L40S_SURFACE_S / wall_sa, 3),
+            **ext_sa})
 
     total = time.time() - t_all
     print(f"# first-run total incl. backend init + compiles: "
           f"{total:.1f}s", file=sys.stderr)
 
-    extra = [{
+    extra.append({
         "metric": "cold first-run total (backend init + all compiles + "
-                  "both workloads)",
+                  "all workloads)",
         "value": round(total, 1), "unit": "s",
-    }]
-    if not skip_scat:
-        extra.insert(0, {
-            "metric": f"benchy-class cylindrical SCATTERING albedo 0.5 "
-                      f"{N_ANGLES} angles {DMD}x{DMD} DMD {FILM}^3 film "
-                      f"{N_STEPS}-iter LinearLBFGS (hybrid engine, "
-                      f"residual spp {SCAT_SPP}; quality-gated IoU>="
-                      f"{IOU_BAR})",
-            "value": round(wall_s, 3), "unit": "s",
-            "vs_baseline": round(L40S_SCATTERING_S / wall_s, 3),
-            **ext_s})
+    })
 
-    print(json.dumps({
-        "metric": f"benchy-class cylindrical {N_ANGLES} angles "
-                  f"{DMD}x{DMD} DMD 1rpp {FILM}^3 film {N_STEPS}-iter "
-                  f"LinearLBFGS wall-clock incl. scene prep "
-                  f"(1 TPU chip; quality-gated IoU>={IOU_BAR})",
-        "value": round(wall_b, 3),
-        "unit": "s",
-        "vs_baseline": round(L40S_BALLISTIC_S / wall_b, 3),
-        "extra": extra + [ext_b],
-    }))
+    print(json.dumps(ballistic_metric(wall_b, ext_b, extra + [ext_b])))
 
 
 if __name__ == "__main__":

@@ -161,10 +161,16 @@ class BallisticEngine:
             self.W = W
             self.Umap = jnp.where(W > 0, UW / jnp.maximum(W, 1e-30), -2.0)
         Szn = np.asarray(build_z_resample(static, arr))
-        self.Sz = jnp.asarray(Szn)
         self._build_z_taps(Szn)
-        log("z-resample + taps", "", t0)
+        log("z-resample + taps (host)", "", t0)
         t0 = _now()
+        if self.z_taps is None:
+            # dense fallback only — the K-tap path never touches Sz
+            self.Sz = jnp.asarray(Szn)
+            log("Sz upload", "", t0)
+            t0 = _now()
+        else:
+            self.Sz = Szn
         p = static.projector
         # ray weight: pixel_area * print_time, spp=1 (projector.py:184-188
         # + common.py:111); the dose stays "raw" — inv_vol applied by the

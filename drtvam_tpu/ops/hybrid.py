@@ -88,12 +88,18 @@ class ScatteringEngine:
         return {"ball": self.ball.params(),
                 "arr": {k: jnp.asarray(v) for k, v in self._arr.items()}}
 
-    def render_vol(self, active_data, inv_vol, seed=0, params=None):
+    def render_vol(self, active_data, inv_vol, seed=0, params=None,
+                   spp=None):
+        """spp overrides the residual rays/pixel for THIS call only —
+        e.g. a high-quality final render (the reference's spp_ref
+        convention, optimize.py:231-238) without rebuilding the engine
+        (the ballistic transport fields are spp-independent)."""
         p = self.params() if params is None else params
+        spp = self.spp if spp is None else spp
         vol_b = self.ball.render_vol(active_data, inv_vol,
                                      params=p["ball"])
         vol_s = render(self.static_s, p["arr"], active_data, inv_vol,
-                       seed=seed, spp=self.spp, spp_grad=self.spp_grad,
+                       seed=seed, spp=spp, spp_grad=self.spp_grad,
                        chunk=self.chunk)
         return vol_b + vol_s
 

@@ -204,6 +204,10 @@ def render_corner(static: MarchStatic, arr, dist, radius=0.1, seed=0,
     square-vial corner at distance `dist` from the axis. Returns the
     dense per-pixel keep image (>0 = keep). Uses regular sampling and
     spp=1 like the reference config (optimize.py:166-171)."""
+    # device arrays throughout: intersect_scene's grid traversal runs a
+    # lax.while_loop, and numpy closure constants indexed by its traced
+    # cell ids raise TracerArrayConversionError
+    arr = {k: jnp.asarray(v) for k, v in arr.items()}
     if chunk is None:
         chunk = default_chunk()
     seed = jnp.asarray(seed, jnp.uint32)

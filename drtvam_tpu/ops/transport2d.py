@@ -288,9 +288,16 @@ def build_z_resample(static: MarchStatic, arr):
     p = static.projector
     resy = p.resy
     _, _, Z = static.sensor.res
-    ey = resy * np.float32(arr["pixel_size"][1])
-    bz0 = float(arr["bbox_min"][2])
-    bz1 = float(arr["bbox_max"][2])
+    # pull the handful of scalars to host in ONE transfer each — on a
+    # tunneled TPU, per-element device indexing (arr["pixel_size"][1])
+    # compiles + syncs a tiny gather per access, which dominated the
+    # cold engine build (~190 s observed) before this
+    psize = np.asarray(arr["pixel_size"])
+    bmin = np.asarray(arr["bbox_min"])
+    bmax = np.asarray(arr["bbox_max"])
+    ey = resy * np.float32(psize[1])
+    bz0 = float(bmin[2])
+    bz1 = float(bmax[2])
     vs_z = (bz1 - bz0) / Z
     ph = float(ey) / resy  # pixel z-footprint
     Sz = np.zeros((Z, resy), np.float32)
@@ -309,4 +316,6 @@ def build_z_resample(static: MarchStatic, arr):
                 ov = max(0.0, min(hi, vhi) - max(lo, vlo)) / ph
                 if ov > 0:
                     Sz[k, r] = ov
-    return jnp.asarray(Sz)
+    # plain numpy: this matrix feeds host-side tap-table construction
+    # (ballistic._build_z_taps); callers upload if they need it on device
+    return Sz

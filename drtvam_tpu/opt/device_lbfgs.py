@@ -52,14 +52,14 @@ def lbfgs_direction(g, S, Yh, ys, head, nvalid, m):
     for k in range(m):
         slot = (head - 1 - k) % m
         ok = k < nvalid
-        sk = _row(S, slot)
-        yk = _row(Yh, slot)
+        sk = _row(S, slot).astype(jnp.float32)
+        yk = _row(Yh, slot).astype(jnp.float32)
         a = jnp.dot(sk, q) / ys[slot]
         a = jnp.where(ok, a, 0.0)
         q = jnp.where(ok, q - a * yk, q)
         alphas = alphas.at[k].set(a)
     newest = (head - 1) % m
-    y_new = _row(Yh, newest)
+    y_new = _row(Yh, newest).astype(jnp.float32)
     gamma = jnp.where(
         nvalid > 0,
         ys[newest] / jnp.maximum(jnp.dot(y_new, y_new), 1e-30),
@@ -68,8 +68,8 @@ def lbfgs_direction(g, S, Yh, ys, head, nvalid, m):
     for k in range(m - 1, -1, -1):
         slot = (head - 1 - k) % m
         ok = k < nvalid
-        sk = _row(S, slot)
-        yk = _row(Yh, slot)
+        sk = _row(S, slot).astype(jnp.float32)
+        yk = _row(Yh, slot).astype(jnp.float32)
         b = jnp.dot(yk, z) / ys[slot]
         z = jnp.where(ok, z + (alphas[k] - b) * sk, z)
     return -z
@@ -186,16 +186,26 @@ class DeviceLinearLBFGS:
     """
 
     def __init__(self, dir_fn, cand_fn, m=5, search_it=20, c1=1e-4,
-                 clamp=True):
+                 clamp=True, history_dtype=jnp.float32):
         """dir_fn(z, *step_args) -> dvol; cand_fn(vol, dvol, alpha, z,
         *step_args) -> loss. Pass per-step device data (seed, engine
         params, target) through step(..., step_args=...) rather than
         closures — closure-captured device arrays are baked into the
-        compiled executable as constants."""
+        compiled executable as constants.
+
+        history_dtype: storage dtype of the S/Yh circular buffers. At
+        n = 64M patterns the f32 history is 2*(m x n x 4B) = 2.6 GB;
+        bfloat16 halves that. The curvature scalars (ys, gamma) are
+        always computed from the f32 step/grad differences BEFORE
+        quantization, and the two-loop dot products accumulate in f32,
+        so only the stored direction vectors lose precision — a
+        perturbation of the quasi-Newton direction that the Armijo
+        safeguard absorbs."""
         self.m = m
         self.search_it = search_it
         self.c1 = c1
         self.clamp = clamp
+        self.history_dtype = history_dtype
         self._state = None
         self.rebind(dir_fn, cand_fn)
 
@@ -204,7 +214,11 @@ class DeviceLinearLBFGS:
         integrator change) keeping the accumulated history state."""
         self._dir_fn = dir_fn
         self._cand_fn = cand_fn
-        self._step_j = jax.jit(self._step_impl)
+        # the state pytree (S/Yh history, p_old/g_old — up to ~3 GB at
+        # 64M patterns) is donated: its buffers are dead the moment the
+        # step returns the new state, and donation lets XLA update the
+        # circular history slot in place instead of copying 2.6 GB
+        self._step_j = jax.jit(self._step_impl, donate_argnums=(0,))
 
     def init_state(self, p0):
         n = p0.shape[0]
@@ -213,8 +227,8 @@ class DeviceLinearLBFGS:
             t=jnp.int32(0),
             p_old=jnp.zeros((n,), jnp.float32),
             g_old=jnp.zeros((n,), jnp.float32),
-            S=jnp.zeros((m, n), jnp.float32),
-            Yh=jnp.zeros((m, n), jnp.float32),
+            S=jnp.zeros((m, n), self.history_dtype),
+            Yh=jnp.zeros((m, n), self.history_dtype),
             ys=jnp.ones((m,), jnp.float32),
             head=jnp.int32(0), nvalid=jnp.int32(0),
         )
@@ -228,8 +242,9 @@ class DeviceLinearLBFGS:
         accept = (st["t"] > 0) & jnp.isfinite(ysv) & \
             (ysv > 1e-10 * jnp.maximum(norm, 1e-30))
         head, nvalid = st["head"], st["nvalid"]
-        S = _insert_row(st["S"], sv, head, accept)
-        Yh = _insert_row(st["Yh"], yv, head, accept)
+        S = _insert_row(st["S"], sv.astype(st["S"].dtype), head, accept)
+        Yh = _insert_row(st["Yh"], yv.astype(st["Yh"].dtype), head,
+                         accept)
         ys = st["ys"].at[head].set(jnp.where(accept, ysv,
                                              st["ys"][head]))
         head = jnp.where(accept, (head + 1) % m, head)

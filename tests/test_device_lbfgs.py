@@ -168,6 +168,41 @@ def test_steppable_matches_host_trajectory():
                                rtol=0.05)
 
 
+def test_bf16_history_converges_like_f32():
+    """bfloat16 S/Yh storage (the 16 GB-HBM configuration used by
+    bench.py at 64M patterns) perturbs the quasi-Newton direction but
+    must not change the convergence level: same final loss within 10%
+    and monotone-ish descent."""
+    render, loss_fn, p0, n_steps = _problem(seed=9, n_steps=12)
+
+    def cand(vol, dvol, alpha, z):
+        return loss_fn(vol + alpha * dvol, z)
+
+    @jax.jit
+    def primal(p):
+        vol = render(p)
+        loss = loss_fn(vol, p)
+        grad = jax.grad(lambda q: loss_fn(render(q), q))(p)
+        return vol, loss, grad
+
+    def run(opt):
+        p = p0
+        losses = []
+        for i in range(n_steps):
+            vol, loss, grad = primal(p)
+            losses.append(float(loss))
+            p = opt.step(p, grad, vol, loss)
+        return losses
+
+    losses_f32 = run(DeviceLinearLBFGS(dir_fn=render, cand_fn=cand))
+    opt16 = DeviceLinearLBFGS(dir_fn=render, cand_fn=cand,
+                              history_dtype=jnp.bfloat16)
+    losses_bf16 = run(opt16)
+    assert opt16._state["S"].dtype == jnp.bfloat16
+    assert losses_bf16[-1] <= losses_f32[-1] * 1.10 + 1e-12
+    assert losses_bf16[-1] < losses_bf16[0] * 0.5  # actually descended
+
+
 def test_checkpoint_roundtrip():
     render, loss_fn, p0, n_steps = _problem(seed=7, n_steps=8)
 

@@ -74,6 +74,78 @@ def agreement(cfg, vol, phantom):
     return np.mean(np.isclose(phantom, vol[:, :, :, 0] > thr)) * 100
 
 
+# ---- non-slow smoke gates (VERDICT r03 item 8): few-iteration runs of
+# the mesh/occlusion/culling families so the default suite exercises
+# their scene assembly, march paths, and culling renders end to end.
+# Bars are functional (calibrated loose for the tiny workload); the
+# slow tests above carry the quality bars.
+
+
+def smoke_config(mesh_path, out, vial, **extra):
+    cfg = base_config(mesh_path, out, vial, **extra)
+    cfg["projector"].update(n_patterns=48, resx=48, resy=10,
+                            pixel_size=50e-3 * 100 / 48)
+    cfg["sensor"]["film"] = {"type": "vfilm", "resx": 48, "resy": 48,
+                             "resz": 24}
+    cfg["n_steps"] = 6
+    return cfg
+
+
+def test_smoke_occlusion(meshes, tmp_path):
+    cfg = smoke_config(
+        meshes["target"], str(tmp_path / "out"),
+        {"type": "square", "w_int": 7.191, "w_ext": 7.6, "ior": 1.3,
+         "medium": {"ior": 1.15, "phase": {"type": "rayleigh"},
+                    "extinction": 0.06, "albedo": 0.0},
+         "occlusions": [{"filename": meshes["occ"]}]},
+        loss={"type": "threshold", "tl": 0.9, "tu": 0.97})
+    vol = run(cfg)
+    film = (48, 48, 24)
+    ref = analytic_phantom(film)
+    occ = np.zeros_like(ref)
+    # occlusion box (1.0, 0.5, 0.25) half-extents in the 5x5x1.25 world
+    occ[7:17, 19:29, 14:34] = 1
+    ref = np.clip(ref - occ, 0, 1)
+    pct = agreement(cfg, vol, ref)
+    assert pct > 75.0, f"agreement {pct:.2f}%"
+    # the shadowed occlusion volume must stay (mostly) unpolymerized
+    thr = (cfg["loss"]["tl"] + cfg["loss"]["tu"]) / 2
+    pred = vol[:, :, :, 0] > thr
+    assert pred[occ > 0].mean() < 0.5
+
+
+def test_smoke_custom_cuvette_telecentric(meshes, tmp_path):
+    cfg = smoke_config(
+        meshes["target"], str(tmp_path / "out"),
+        {"type": "custom",
+         "filename_vial_outer": meshes["cuv_outer"],
+         "filename_vial_inner": meshes["cuv_inner"],
+         "ior": 1.4702,
+         "medium": {"ior": 1.33, "phase": {"type": "rayleigh"},
+                    "extinction": 0.06, "albedo": 0.0}},
+        loss={"type": "threshold", "tl": 0.9, "tu": 0.97})
+    cfg["projector"].update(type="telecentric", focus_distance=20,
+                            aperture_radius=0.01)
+    vol = run(cfg)
+    pct = agreement(cfg, vol, analytic_phantom((48, 48, 24)))
+    assert pct > 80.0, f"agreement {pct:.2f}%"
+
+
+def test_smoke_sparsity_filter_corner(meshes, tmp_path):
+    cfg = smoke_config(
+        meshes["target"], str(tmp_path / "out"),
+        {"type": "square", "w_int": 10.191, "w_ext": 12.408,
+         "ior": 1.54,
+         "medium": {"ior": 1.347, "phase": {"type": "rayleigh"},
+                    "extinction": 0.03, "albedo": 0.0}},
+        loss={"type": "threshold", "tl": 0.80, "tu": 0.95,
+              "weight_sparsity": 0.01, "M": 4},
+        filter_corner={"dist": 6.204, "radius": 0.2})
+    vol = run(cfg)
+    pct = agreement(cfg, vol, analytic_phantom((48, 48, 24)))
+    assert pct > 70.0, f"agreement {pct:.2f}%"
+
+
 @pytest.mark.slow
 def test_e2e_occlusion(meshes, tmp_path):
     """Reference test_square_hole_occlusion_optimization semantics:

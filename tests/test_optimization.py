@@ -121,14 +121,15 @@ def test_e2e_cylindrical_full(hole_mesh, tmp_path):
     tl 0.85 / tu 0.95, 200 angles, 30 steps (>99.4% bar,
     reference test_optimization.py:155). The hybrid engine renders the
     unscattered transport analytically and the scattered residual with
-    the delta estimator (a variance/speed knob, not a physics change) —
-    completes in ~6 min on the 2-core CPU CI host."""
+    the scene's configured dda estimator — the reference's own deposit
+    scheme. (Round-3 shipped this with a delta residual, whose one-
+    deposit-per-medium-event gradient variance stalled convergence at
+    94.28%; dda measures 99.42% — bisected in round 4.)"""
     cfg = make_config(
         hole_mesh, str(tmp_path / "out"),
         {"type": "cylindrical", "r_int": 7, "r_ext": 8, "ior": 1.54,
          "medium": {"ior": 1.40, "phase": {"type": "rayleigh"},
-                    "extinction": 0.1, "albedo": 0.5}},
-        hybrid_estimator="delta")
+                    "extinction": 0.1, "albedo": 0.5}})
     vol = run_optimize(cfg)
     check(cfg, vol, 99.4)
 
@@ -159,15 +160,16 @@ def test_e2e_scattering_bounded(hole_mesh, tmp_path):
 def test_e2e_square_scattering_full(hole_mesh, tmp_path):
     """Reference box_hole_scattering.json verbatim: square vial,
     albedo 0.9, tl 0.35 / tu 0.55, filter_radon, spp 4 / spp_grad 16,
-    200 angles, 30 steps; >99.0% bar (test_optimization.py:153)."""
+    200 angles, 30 steps; >99.0% bar (test_optimization.py:153).
+    Scattered residual uses the scene's configured dda estimator (the
+    round-3 delta residual measured 98.90%, just under the bar)."""
     cfg = make_config(
         hole_mesh, str(tmp_path / "out"),
         {"type": "square", "w_int": 7.0, "w_ext": 8.0, "ior": 1.24,
          "medium": {"ior": 1.347, "phase": {"type": "rayleigh"},
                     "extinction": 0.09, "albedo": 0.9}},
         loss={"type": "threshold", "tl": 0.35, "tu": 0.55},
-        spp=4, spp_grad=16, filter_radon=True,
-        hybrid_estimator="delta", spp_ref=16)
+        spp=4, spp_grad=16, filter_radon=True, spp_ref=16)
     vol = run_optimize(cfg)
     check(cfg, vol, 99.0)
 
