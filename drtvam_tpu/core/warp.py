@@ -16,6 +16,16 @@ def square_to_uniform_sphere(u):
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
+def square_to_cosine_hemisphere(u):
+    """Cosine-weighted unit hemisphere (z >= 0) via the concentric disk
+    lift; pdf = cos(theta)/pi. Used by diffuse occlusion BSDFs
+    (reference geometry.py:55-72 allows arbitrary occlusion BSDFs,
+    default black diffuse)."""
+    d = square_to_uniform_disk_concentric(u)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.sum(d * d, axis=-1)))
+    return jnp.concatenate([d, z[..., None]], axis=-1)
+
+
 def square_to_uniform_disk_concentric(u):
     """Concentric (Shirley) mapping of [0,1)^2 to the unit disk, (...,2)."""
     x = 2.0 * u[..., 0] - 1.0

@@ -27,7 +27,13 @@ IOR_AIR = 1.000277  # Mitsuba's named "air" IOR, the dielectric default
 # surface kinds
 CYLINDER, BOX, MESH = 0, 1, 2
 # bsdf kinds
-DIELECTRIC, NULL, ABSORB = 0, 1, 2
+DIELECTRIC, NULL, ABSORB, DIFFUSE = 0, 1, 2, 3
+
+# Mitsuba's named IORs accepted in dielectric occlusion BSDF dicts
+_NAMED_IOR = {"air": IOR_AIR, "vacuum": 1.0, "water": 1.3330,
+              "bk7": 1.5046, "fused quartz": 1.458, "pyrex": 1.470,
+              "acrylic glass": 1.49, "polypropylene": 1.49, "pet": 1.5750,
+              "diamond": 2.419}
 
 
 @dataclass
@@ -37,6 +43,7 @@ class SurfaceSpec:
     # cylinder: params = (radius, z0, z1); box: (hx, hy, hz)
     params: tuple = (0.0, 0.0, 0.0)
     eta: float = 1.0          # int_ior / ext_ior
+    refl: float = 0.0         # diffuse reflectance (DIFFUSE surfaces)
     medium_side: int = 0      # 0 none, 1 interior is medium, 2 exterior
     is_target: bool = False
     mesh: Optional[TriMesh] = None
@@ -81,17 +88,49 @@ def _parse_medium(params, cls_name):
                       ior=float(m["ior"]), phase=phase, phase_g=g)
 
 
+def _ior_value(v):
+    if isinstance(v, str):
+        return _NAMED_IOR[v.lower()]
+    return float(v)
+
+
+def _reflectance_value(v):
+    # Mitsuba spectrum dicts ({"type": "spectrum", "value": x}) or a
+    # plain scalar; the mono variant makes every spectrum one channel
+    if isinstance(v, dict):
+        return float(v.get("value", 0.5))
+    return float(v)
+
+
 def _occlusion_specs(params, resolve_path):
-    """Occlusion meshes: absorbing by default (black diffuse in the
-    reference — geometry.py:55-72)."""
+    """Occlusion meshes (reference geometry.py:55-72): arbitrary BSDF
+    dicts, default black diffuse (== pure absorber). Supported types:
+    diffuse (any reflectance), null, dielectric. The reference attaches
+    the printing medium as every occlusion's *exterior* medium, so
+    rays leaving an occlusion surface on the outside resume medium
+    transport -> medium_side=2 here."""
     specs = []
     for occ in params.get("occlusions", []):
         mesh = load_mesh(resolve_path(occ["filename"]))
-        bsdf = ABSORB
+        bsdf, eta, refl = ABSORB, 1.0, 0.0
         b = occ.get("bsdf")
-        if isinstance(b, dict) and b.get("type") == "null":
-            bsdf = NULL
+        if isinstance(b, dict):
+            btype = b.get("type", "diffuse")
+            if btype == "null":
+                bsdf = NULL
+            elif btype == "dielectric":
+                bsdf = DIELECTRIC
+                eta = _ior_value(b.get("int_ior", "bk7")) / \
+                    _ior_value(b.get("ext_ior", "air"))
+            elif btype == "diffuse":
+                refl = _reflectance_value(b.get("reflectance", 0.5))
+                bsdf = ABSORB if refl == 0.0 else DIFFUSE
+            else:
+                raise ValueError(
+                    f"unsupported occlusion BSDF type '{btype}' "
+                    "(diffuse | null | dielectric)")
         specs.append(SurfaceSpec(kind=MESH, bsdf=bsdf, mesh=mesh,
+                                 eta=eta, refl=refl, medium_side=2,
                                  name=f"occlusion:{occ['filename']}"))
     return specs
 

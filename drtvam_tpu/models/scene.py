@@ -137,7 +137,7 @@ class Scene:
 
         from ..ops.mesh_grid import (TriGridStatic, build_tri_grid,
                                      GRID_MIN_TRIS)
-        statics, params, etas = [], [], []
+        statics, params, etas, refls = [], [], [], []
         tri_v0, tri_e1, tri_e2, tri_n = [], [], [], []
         grid_cs, grid_ids, grid_bbox = [], [], []
         tri_cursor = cs_cursor = ids_cursor = 0
@@ -170,6 +170,7 @@ class Scene:
                 is_target=s.is_target, tri_slice=tri_slice, grid=grid))
             params.append(s.params)
             etas.append(s.eta)
+            refls.append(s.refl)
 
         if tri_cursor == 0:
             # keep the keys present; never indexed when no MESH surfaces
@@ -204,6 +205,7 @@ class Scene:
         arr = {
             "surf_params": np.asarray(params, np.float32),
             "surf_eta": np.asarray(etas, np.float32),
+            "surf_refl": np.asarray(refls, np.float32),
             "tri_v0": np.concatenate(tri_v0).astype(np.float32),
             "tri_e1": np.concatenate(tri_e1).astype(np.float32),
             "tri_e2": np.concatenate(tri_e2).astype(np.float32),

@@ -48,16 +48,31 @@ from .fresnel import refract
 from .medium import sample_phase_direction, sample_free_flight
 from ..models.projector import ProjectorStatic, sample_rays, ray_weight
 from ..models.sensor import SensorStatic
-from ..models.geometry import CYLINDER, BOX, MESH, DIELECTRIC, NULL, ABSORB
+from ..models.geometry import CYLINDER, BOX, MESH, DIELECTRIC, NULL, \
+    ABSORB, DIFFUSE
+from ..core.warp import square_to_cosine_hemisphere
 
 INF = np.float32(np.inf)  # numpy: no device commit at import time
 RAY_EPS = 1e-4
 
 
+def _onb(n):
+    """Branchless orthonormal basis around unit vectors n (..., 3)
+    (Duff et al. 2017). Returns (tangent, bitangent)."""
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack([1.0 + s * n[..., 0] * n[..., 0] * a, s * b,
+                   -s * n[..., 0]], axis=-1)
+    bt = jnp.stack([b, s + n[..., 1] * n[..., 1] * a,
+                    -n[..., 1]], axis=-1)
+    return t, bt
+
+
 @dataclass(frozen=True)
 class SurfaceStatic:
     kind: int            # CYLINDER | BOX | MESH
-    bsdf: int            # DIELECTRIC | NULL | ABSORB
+    bsdf: int            # DIELECTRIC | NULL | ABSORB | DIFFUSE
     medium_side: int     # 0 none, 1 interior is medium, 2 exterior
     is_target: bool
     tri_slice: Tuple[int, int]  # (start, count) into the triangle bank
@@ -544,6 +559,7 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
     em = arr["active_data"][aidx] * w_scalar
 
     bsdf_kind = _static_i32([s.bsdf for s in static.surfaces])
+    has_diffuse = any(s.bsdf == DIFFUSE for s in static.surfaces)
     med_side = _static_i32([s.medium_side for s in static.surfaces])
     is_target = jnp.asarray([s.is_target for s in static.surfaces],
                             jnp.bool_)
@@ -660,6 +676,7 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         d_t, d_r, F, tir, eta_rel = refract(d, n_si, eta)
         inv_eta2 = 1.0 / (eta_rel * eta_rel)
         u_b, ctr = sampler.next_1d(lane, ctr)
+        u_ph, ctr = sampler.next_2d(lane, ctr)
         if static.transmission_only:
             w_diel = jnp.where(tir, 0.0, (1.0 - F) * inv_eta2)
             d_diel = d_t
@@ -676,9 +693,26 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         w_bsdf = jnp.where(is_diel, w_diel,
                            jnp.where(is_null, 1.0, 0.0))
         d_new = jnp.where(is_diel[..., None], d_diel, d)
+        if has_diffuse and not static.transmission_only:
+            # diffuse occlusion surfaces (reference geometry.py:55-72):
+            # cosine-hemisphere reflection on the incident side, weight
+            # = reflectance (cosine-weighted importance sampling). A
+            # lane is at a surface XOR a medium event, so u_ph is free
+            # here. Under transmission_only (or force_tr at depth 0) a
+            # diffuse lobe has no transmission component -> weight 0,
+            # the w_bsdf default above.
+            is_diff = (kind == DIFFUSE) & ~force_tr
+            refl = arr["surf_refl"][jnp.clip(sid, 0, None)]
+            nl = jnp.where(jnp.sum(d * n_si, -1)[..., None] < 0.0,
+                           n_si, -n_si)
+            tg, btg = _onb(nl)
+            h = square_to_cosine_hemisphere(u_ph)
+            d_diff = (h[..., 0:1] * tg + h[..., 1:2] * btg +
+                      h[..., 2:3] * nl)
+            w_bsdf = jnp.where(is_diff, refl, w_bsdf)
+            d_new = jnp.where(is_diff[..., None], d_diff, d_new)
 
         # ---- phase sampling at medium events ------------------------------
-        u_ph, ctr = sampler.next_2d(lane, ctr)
         if static.has_scattering and not radon:
             d_scat = sample_phase_direction(
                 static.phase, arr["phase_g"], d, u_ph[..., 0], u_ph[..., 1])

@@ -87,6 +87,8 @@ def strip_target(static: MarchStatic, arr):
     arr2 = dict(arr)
     arr2["surf_params"] = arr["surf_params"][idx]
     arr2["surf_eta"] = arr["surf_eta"][idx]
+    if "surf_refl" in arr:
+        arr2["surf_refl"] = arr["surf_refl"][idx]
     return static2, arr2
 
 

@@ -15,7 +15,12 @@ def tiny_scattering_scene(work_dir):
 
     path = os.path.join(work_dir, "mh_target.ply")
     if not os.path.exists(path):
-        save_ply(make_box((0.5, 0.5, 0.5)), path)
+        # concurrent workers race here: write to a per-process temp
+        # name and os.replace (atomic) so a reader never sees a
+        # half-written PLY
+        tmp = f"{path}.{os.getpid()}.tmp"
+        save_ply(make_box((0.5, 0.5, 0.5)), tmp)
+        os.replace(tmp, path)
     cfg = {
         "vial": {"type": "cylindrical", "r_int": 7, "r_ext": 8,
                  "ior": 1.54,
