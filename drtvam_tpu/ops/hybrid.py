@@ -62,11 +62,19 @@ class ScatteringEngine:
     estimator: override the dose estimator used for the scattered
     residual only ('dda' | 'ratio' | 'delta'); None keeps the scene's
     configured sensor estimator.
+
+    first_scatter: importance-sample every residual lane's first
+    scatter event along its deterministic in-medium chord (see
+    march.MarchStatic.first_scatter) instead of tracing the analog
+    prefix — same expectation, ~1/P_scat lower variance per lane, and
+    no wasted never-scattering lanes (at the reference benchmark's
+    albedo 0.5 / tau~1 only ~19% of analog lanes deposit anything).
     """
 
     def __init__(self, static: MarchStatic, arr, spp: int = 4,
                  spp_grad: int | None = None, chunk: int | None = None,
-                 inside_mask=None, estimator: str | None = None):
+                 inside_mask=None, estimator: str | None = None,
+                 first_scatter: bool = True):
         assert hybrid_eligible(static), \
             "scene is not hybrid-eligible (needs scattering + " \
             "z-invariant collimated geometry)"
@@ -75,8 +83,15 @@ class ScatteringEngine:
         sensor = static.sensor
         if estimator is not None and estimator != sensor.estimator:
             sensor = dataclasses.replace(sensor, estimator=estimator)
+        if first_scatter and static.sensor.channels == 2:
+            # the prologue seeds the surface-aware channel flag from
+            # the voxelized inside-mask at the sampled event point
+            arr = dict(arr)
+            arr["inside_mask_flat"] = \
+                jnp.asarray(inside_mask, jnp.float32).reshape(-1)
         self.static_s = dataclasses.replace(static, scattered_only=True,
-                                            sensor=sensor)
+                                            sensor=sensor,
+                                            first_scatter=first_scatter)
         self.spp = spp
         self.spp_grad = spp if spp_grad is None else spp_grad
         self.chunk = default_chunk() if chunk is None else chunk

@@ -113,6 +113,22 @@ class MarchStatic:
     # lower-variance estimate of the reference's scattering render
     # (volume.py:199-263) at a tiny fraction of the scatter traffic.
     scattered_only: bool = False
+    # Forced first-scatter sampling for the scattered residual: instead
+    # of tracing the analog path and letting most lanes exit unscattered
+    # (at optical depth tau only 1-e^-tau of lanes scatter at all, times
+    # albedo of those survive the event — ~19% useful lanes for the
+    # albedo-0.5 benchmark), a deterministic RNG-free prologue marches
+    # each lane through the transmission-only refraction stack, records
+    # its in-medium chord, and importance-samples the first scatter
+    # point from the truncated exponential along it with weight
+    # albedo * (chord scatter mass). Every lane then starts AT its
+    # first scatter event (n_scat=1): identical expectation, ~1/P_scat
+    # lower variance per lane, and the pre-scatter march disappears.
+    # Only honored when scattered_only & has_scattering &
+    # transmission_only; ignored for medium_grads (the forced weight
+    # carries extra sigma_t/albedo dependence the cotangent math does
+    # not model).
+    first_scatter: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -164,6 +180,174 @@ def intersect_scene(static: MarchStatic, arr, o, d, active):
 
 def _static_i32(vals):
     return jnp.asarray(vals, jnp.int32)
+
+
+def _first_scatter_prologue(static: MarchStatic, arr, o, d, sampler,
+                            lane, ctr):
+    """Deterministic transmission-only prefix + forced first scatter.
+
+    Marches each lane through the refraction stack WITHOUT RNG or
+    deposits (the analytic ballistic engine owns the n_scat == 0 dose),
+    recording its in-medium chord as up to 2 straight segments
+    (origin, direction, length, Fresnel amplitude) — 2 because analytic
+    vials yield one medium chord, double-cylindrical two; null/target
+    crossings keep direction and amplitude, so they EXTEND the current
+    segment exactly instead of splitting it. The first scatter point is
+    then importance-sampled from the truncated exponential along the
+    chord: pick segment k with probability mass_k / M where
+    mass_k = amp_k * exp(-st*tau_k) * (1 - exp(-st*L_k)), then
+    t ~ st*exp(-st*t)/(1-exp(-st*L_k)); the lane weight becomes
+    albedo * M — the exact expectation of the analog estimator's
+    (reach event) x (albedo at event) factor, with zero wasted lanes.
+
+    Returns (o1, d1, A_fs, inside1, alive, ctr): the post-event ray
+    state. inside1 is the surface-aware channel flag, initialized from
+    the voxelized inside mask (the same convention the analytic
+    component uses for its channel split).
+    """
+    n = o.shape[0]
+    st = arr["sigma_t"]
+    bsdf_kind = _static_i32([s.bsdf for s in static.surfaces])
+    med_side = _static_i32([s.medium_side for s in static.surfaces])
+    is_target = jnp.asarray([s.is_target for s in static.surfaces],
+                            jnp.bool_)
+    K = 2
+
+    state = dict(
+        o=o, d=d, amp=jnp.ones((n,), jnp.float32),
+        in_medium=jnp.zeros((n,), jnp.bool_),
+        active=jnp.ones((n,), jnp.bool_),
+        sg_o=jnp.zeros((n, K, 3), jnp.float32),
+        sg_d=jnp.zeros((n, K, 3), jnp.float32),
+        sg_L=jnp.zeros((n, K), jnp.float32),
+        sg_amp=jnp.zeros((n, K), jnp.float32),
+        cnt=jnp.zeros((n,), jnp.int32),
+        cs_o=jnp.zeros((n, 3), jnp.float32),
+        cs_d=jnp.zeros((n, 3), jnp.float32),
+        cs_L=jnp.zeros((n,), jnp.float32),
+        cs_amp=jnp.zeros((n,), jnp.float32),
+        opened=jnp.zeros((n,), jnp.bool_),
+        it=jnp.int32(0),
+    )
+    # target meshes can cross a chord several times; each crossing is
+    # one prologue iteration (it extends, not splits, the segment)
+    max_iters = 2 * len(static.surfaces) + 8
+
+    def flush(s, close):
+        """Write the open segment into slot min(cnt, K-1) for `close`
+        lanes and advance cnt."""
+        slot = jnp.minimum(s["cnt"], K - 1)
+        onehot = (jnp.arange(K)[None, :] == slot[:, None]) & \
+            close[:, None]
+        sg_o = jnp.where(onehot[..., None], s["cs_o"][:, None, :],
+                         s["sg_o"])
+        sg_d = jnp.where(onehot[..., None], s["cs_d"][:, None, :],
+                         s["sg_d"])
+        sg_L = jnp.where(onehot, s["cs_L"][:, None], s["sg_L"])
+        sg_amp = jnp.where(onehot, s["cs_amp"][:, None], s["sg_amp"])
+        cnt = s["cnt"] + close.astype(jnp.int32)
+        return dict(s, sg_o=sg_o, sg_d=sg_d, sg_L=sg_L, sg_amp=sg_amp,
+                    cnt=cnt, opened=s["opened"] & ~close)
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["it"] < max_iters)
+
+    def body(s):
+        o, d, amp = s["o"], s["d"], s["amp"]
+        active, in_medium = s["active"], s["in_medium"]
+
+        t_si, n_si, sid, valid = intersect_scene(static, arr, o, d,
+                                                 active)
+        active = active & valid
+        hit_target = active & is_target[jnp.clip(sid, 0, None)] & \
+            (sid >= 0)
+        trav = in_medium & active
+
+        # open a segment at the start of an in-medium stretch
+        newseg = trav & ~s["opened"]
+        s = dict(s,
+                 cs_o=jnp.where(newseg[..., None], o, s["cs_o"]),
+                 cs_d=jnp.where(newseg[..., None], d, s["cs_d"]),
+                 cs_amp=jnp.where(newseg, amp, s["cs_amp"]),
+                 cs_L=jnp.where(newseg, 0.0, s["cs_L"]),
+                 opened=s["opened"] | newseg)
+        s = dict(s, cs_L=jnp.where(trav, s["cs_L"] + t_si, s["cs_L"]))
+
+        # transmission-only BSDF (prologue never reflects)
+        kind = bsdf_kind[jnp.clip(sid, 0, None)]
+        eta = arr["surf_eta"][jnp.clip(sid, 0, None)]
+        d_t, _, F, tir, eta_rel = refract(d, n_si, eta)
+        is_diel = kind == DIELECTRIC
+        is_null = kind == NULL
+        w = jnp.where(is_diel,
+                      jnp.where(tir, 0.0, (1.0 - F) /
+                                (eta_rel * eta_rel)),
+                      jnp.where(is_null, 1.0, 0.0))
+        d_new = jnp.where(is_diel[..., None], d_t, d)
+
+        o = jnp.where(active[..., None], o + t_si[..., None] * d, o)
+        d = jnp.where(active[..., None], d_new, d)
+        amp = jnp.where(active, amp * w, amp)
+
+        ms = med_side[jnp.clip(sid, 0, None)]
+        dn = jnp.sum(d * n_si, -1)
+        enters = ((ms == 1) & (dn < 0.0)) | ((ms == 2) & (dn > 0.0))
+        in_med_next = active & (hit_target | enters)
+
+        # the stretch ends when the direction changes or the medium
+        # does; a null/target crossing that stays in medium with the
+        # same direction extends it instead
+        close = s["opened"] & trav & (is_diel | ~in_med_next)
+        s = flush(s, close)
+
+        active = active & (amp > 0.0)
+        return dict(s, o=o, d=d, amp=amp, in_medium=in_med_next,
+                    active=active, it=s["it"] + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    state = flush(state, state["opened"])  # max_iters safety flush
+
+    sg_L, sg_amp = state["sg_L"], state["sg_amp"]
+    tau = jnp.concatenate([jnp.zeros((n, 1)), sg_L[:, :1]], axis=1)
+    mass = sg_amp * jnp.exp(-st * tau) * (1.0 - jnp.exp(-st * sg_L))
+    M = jnp.sum(mass, axis=1)
+    alive = M > 1e-12
+
+    u1, ctr = sampler.next_1d(lane, ctr)
+    pick1 = (u1 * M > mass[:, 0]) & (sg_L[:, 1] > 0.0)
+    k = pick1.astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(
+        a, k[:, None, None] if a.ndim == 3 else k[:, None],
+        axis=1).squeeze(1)
+    o_k, d_k = take(state["sg_o"]), take(state["sg_d"])
+    L_k, m_k = take(sg_L), take(mass)
+    um = jnp.clip((u1 * M - jnp.where(pick1, mass[:, 0], 0.0)) /
+                  jnp.maximum(m_k, 1e-30), 0.0, 1.0 - 1e-7)
+    t_ev = -jnp.log1p(-um * (1.0 - jnp.exp(-st * L_k))) / \
+        jnp.maximum(st, 1e-30)
+    t_ev = jnp.clip(t_ev, 0.0, L_k)
+    o1 = o_k + t_ev[..., None] * d_k
+
+    u2, ctr = sampler.next_2d(lane, ctr)
+    d1 = sample_phase_direction(static.phase, arr["phase_g"], d_k,
+                                u2[..., 0], u2[..., 1])
+    A_fs = arr["albedo"] * M
+
+    if static.sensor.channels == 2:
+        X, Y, Z = static.sensor.res
+        bmin, bmax = arr["bbox_min"], arr["bbox_max"]
+        inv_vs = jnp.asarray([X, Y, Z], jnp.float32) / (bmax - bmin)
+        v = jnp.floor((o1 - bmin) * inv_vs).astype(jnp.int32)
+        in_grid = jnp.all(v >= 0, -1) & \
+            jnp.all(v < jnp.asarray([X, Y, Z], jnp.int32), -1)
+        flat = v[..., 0] + X * (v[..., 1] + Y * v[..., 2])
+        mask = arr["inside_mask_flat"]
+        inside1 = jnp.where(in_grid,
+                            mask[jnp.where(in_grid, flat, 0)] > 0.5,
+                            False)
+    else:
+        inside1 = jnp.zeros((n,), jnp.bool_)
+    return o1, d1, A_fs, inside1, alive, ctr
 
 
 # --------------------------------------------------------------------------
@@ -576,13 +760,35 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
     active0 = jnp.ones((n,), jnp.bool_) if n_valid is None \
         else (lane < jnp.uint32(n_valid))
 
+    fs = (static.first_scatter and static.scattered_only
+          and static.has_scattering and static.transmission_only
+          and not static.medium_grads and not radon)
+    if fs:
+        # every lane starts AT its forced first scatter event: the
+        # pre-scatter attenuation and the event's albedo factor live in
+        # A_fs (see _first_scatter_prologue), so total_t restarts at 0
+        # and n_scat at 1 (deposits are live immediately).
+        o, d, A_fs, inside_fs, alive_fs, ctr = _first_scatter_prologue(
+            static, arr, o, d, sampler, lane, ctr)
+        active0 = active0 & alive_fs
+        A0 = jnp.where(active0, A_fs, 0.0)
+        n_scat0 = jnp.ones((n,), jnp.float32)
+        in_med0 = active0
+        depth0 = jnp.ones((n,), jnp.int32)
+    else:
+        A0 = jnp.where(active0, 1.0, 0.0)
+        n_scat0 = jnp.zeros((n,), jnp.float32)
+        inside_fs = jnp.zeros((n,), jnp.bool_)
+        in_med0 = jnp.zeros((n,), jnp.bool_)
+        depth0 = jnp.zeros((n,), jnp.int32)
+
     state = dict(
-        o=o, d=d, A=jnp.where(active0, 1.0, 0.0),
+        o=o, d=d, A=A0,
         total_t=jnp.zeros((n,), jnp.float32),
-        n_scat=jnp.zeros((n,), jnp.float32),
-        inside_target=jnp.zeros((n,), jnp.bool_),
-        in_medium=jnp.zeros((n,), jnp.bool_),
-        depth=jnp.zeros((n,), jnp.int32),
+        n_scat=n_scat0,
+        inside_target=inside_fs,
+        in_medium=in_med0,
+        depth=depth0,
         active=active0,
         ctr=ctr, acc=acc, g=g, L=L_rad, it=jnp.int32(0),
         stg=sg0[0], ssg=sg0[1],
