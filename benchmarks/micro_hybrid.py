@@ -58,6 +58,8 @@ def main():
                     choices=["dda", "ratio", "delta"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-first-scatter", action="store_true",
+                    help="analog residual prefix (pre-r04 behavior)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -75,7 +77,8 @@ def main():
 
     t0 = time.perf_counter()
     eng = ScatteringEngine(static, arr, spp=args.spp, spp_grad=spp_grad,
-                           chunk=args.chunk, estimator=args.estimator)
+                           chunk=args.chunk, estimator=args.estimator,
+                           first_scatter=not args.no_first_scatter)
     ep = eng.params()
     jax.block_until_ready(ep["ball"]["W"])
     t_build = time.perf_counter() - t0

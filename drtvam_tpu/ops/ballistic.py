@@ -124,6 +124,7 @@ class BallisticEngine:
         log("transport builder", "native C++" if native is not None
             else "jitted device", t0)
         t0 = _now()
+        W_host = U_host = None
         if native is not None:
             # host numpy end-to-end: Umap derived on host, then ONE
             # one-way upload. No device round trips — over a network-
@@ -132,6 +133,7 @@ class BallisticEngine:
             with np.errstate(divide="ignore", invalid="ignore"):
                 Un = np.where(Wn > 0, UWn / np.maximum(Wn, 1e-30),
                               np.float32(-2.0)).astype(np.float32)
+            W_host, U_host = Wn, Un
             if on_cpu or (static.projector.resx + 6) * 64 > 65535:
                 # full precision (CPU: no thin pipe; huge DMDs: u-map
                 # exceeds the u16 fixed-point range)
@@ -207,12 +209,27 @@ class BallisticEngine:
         # scalar sync per scene to verify the data-dependent condition)
         if self.impl in ("pallas", "pallas_bf16") and \
                 banded_eligible(self.W.shape, self.shape_dense[2]):
-            if bool(band_span_ok(self.W, self.Umap,
-                                 self.shape_dense[2])):
+            if W_host is not None:
+                # run the check on the HOST cpu backend from the native
+                # builder's numpy fields: the device version is a tiny
+                # remote compile whose tunnel latency is erratically
+                # pathological (2s typical, minutes observed — this WAS
+                # the r03 "cold precompute regression"). Quantization
+                # can't flip the verdict: the u fixed-point error
+                # (1/64 px) is far below the check's 1.0-px slack and
+                # bf16 rounding keeps W's positivity mask.
+                with jax.default_device(jax.devices("cpu")[0]):
+                    ok = bool(band_span_ok(W_host, U_host,
+                                           self.shape_dense[2]))
+                log("band-span check (host cpu)", "", t0)
+            else:
+                ok = bool(band_span_ok(self.W, self.Umap,
+                                       self.shape_dense[2]))
+                log("band-span check (jit + sync)", "", t0)
+            if ok:
                 self.impl = ("pallas_band_bf16"
                              if self.impl.endswith("bf16")
                              else "pallas_band")
-            log("band-span check (jit + sync)", "", t0)
         # parallel.shard.shard_ballistic_engine replaces this with an
         # angle-sharded mesh implementation
         self._sharded_bp = None

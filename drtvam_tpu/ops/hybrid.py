@@ -38,10 +38,14 @@ import dataclasses
 
 import jax.numpy as jnp
 
+import jax
+
 from .ballistic import BallisticEngine
-from .transport2d import unscattered_eligible
+from .transport2d import unscattered_eligible, strip_target, build_chords
 from .render import render, default_chunk, _adjoint
-from .march import MarchStatic
+from .march import MarchStatic, fast_residual_eligible
+
+_build_chords = jax.jit(build_chords, static_argnums=(0, 2))
 
 __all__ = ["ScatteringEngine", "hybrid_eligible"]
 
@@ -83,15 +87,42 @@ class ScatteringEngine:
         sensor = static.sensor
         if estimator is not None and estimator != sensor.estimator:
             sensor = dataclasses.replace(sensor, estimator=estimator)
-        if first_scatter and static.sensor.channels == 2:
-            # the prologue seeds the surface-aware channel flag from
-            # the voxelized inside-mask at the sampled event point
+        if first_scatter:
             arr = dict(arr)
-            arr["inside_mask_flat"] = \
-                jnp.asarray(inside_mask, jnp.float32).reshape(-1)
-        self.static_s = dataclasses.replace(static, scattered_only=True,
-                                            sensor=sensor,
-                                            first_scatter=first_scatter)
+            # chord bank: the prologue's geometric march collapses to a
+            # per-(angle, column) lookup for z-invariant geometry (the
+            # same factorization the ballistic transport fields use)
+            import os
+            import time
+            import numpy as np
+            t0 = time.perf_counter()
+            st2, arr2 = strip_target(static, arr)
+            # the bank is tiny (A*U lanes, ~8 MB) and geometry-only:
+            # build it on the HOST cpu backend — compiling the trace
+            # loop on a network-attached TPU costs far more than the
+            # one-way upload of the result, and the tunnel's remote
+            # compiles occasionally stall for minutes
+            arr2 = {k: np.asarray(v) for k, v in arr2.items()}
+            with jax.default_device(jax.devices("cpu")[0]):
+                bank = _build_chords(st2, arr2)
+                bank = [np.asarray(b) for b in bank]
+            if os.environ.get("DRTVAM_BUILD_LOG") == "1":
+                import sys
+                print(f"#   engine build: chord bank (host cpu): "
+                      f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+            (arr["chord_o"], arr["chord_d"],
+             arr["chord_L"], arr["chord_amp"]) = bank
+            if static.sensor.channels == 2:
+                # the prologue seeds the surface-aware channel flag from
+                # the voxelized inside-mask at the sampled event point
+                arr["inside_mask_flat"] = \
+                    jnp.asarray(inside_mask, jnp.float32).reshape(-1)
+        self.static_s = dataclasses.replace(
+            static, scattered_only=True, sensor=sensor,
+            first_scatter=first_scatter,
+            fast_residual=(first_scatter
+                           and sensor.estimator == "delta"
+                           and fast_residual_eligible(static)))
         self.spp = spp
         self.spp_grad = spp if spp_grad is None else spp_grad
         self.chunk = default_chunk() if chunk is None else chunk

@@ -129,6 +129,19 @@ class MarchStatic:
     # carries extra sigma_t/albedo dependence the cotangent math does
     # not model).
     first_scatter: bool = False
+    # Specialized post-first-scatter event loop (set by the hybrid
+    # engine when eligible): for a SINGLE convex analytic medium region
+    # (one CYLINDER/BOX surface with medium_side == 1 — cylindrical,
+    # square and index-matched vials) under transmission-only BSDFs
+    # with the delta estimator, a scattered lane is DEAD the moment it
+    # reaches the medium boundary: it can never re-enter a convex
+    # region on a straight line, and a TIR bounce that could bend it
+    # back carries weight 0 in transmission-only mode. The general
+    # surface march (intersect bank + BSDF + medium-transition
+    # bookkeeping, ~28 while iterations) therefore collapses to
+    # max_depth-1 unrolled scatter events with one convex-exit
+    # distance each.
+    fast_residual: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -307,7 +320,51 @@ def _first_scatter_prologue(static: MarchStatic, arr, o, d, sampler,
     state = jax.lax.while_loop(cond, body, state)
     state = flush(state, state["opened"])  # max_iters safety flush
 
-    sg_L, sg_amp = state["sg_L"], state["sg_amp"]
+    return _sample_first_scatter(static, arr, state["sg_o"],
+                                 state["sg_d"], state["sg_L"],
+                                 state["sg_amp"], sampler, lane, ctr)
+
+
+def _first_scatter_from_chords(static: MarchStatic, arr, o, aidx,
+                               sampler, lane, ctr):
+    """Chord-bank first-scatter prologue: O(1) gathers per lane.
+
+    For z-invariant transmission-only geometry the in-medium chord of a
+    pixel's ray is a fixed horizontal 2D polyline independent of its DMD
+    row (the factorization transport2d.build_transport exploits), so the
+    geometric prologue march collapses to a lookup: gather the (angle,
+    column) entry of the precomputed bank (transport2d.build_chords,
+    stashed in arr as chord_o/d/L/amp by the hybrid engine) and lift it
+    to 3D at the lane's jittered z. The chord is evaluated at the pixel
+    CENTER column (midpoint quadrature over the pixel footprint — the
+    same determinism the ballistic component applies to the unscattered
+    dose); z keeps the exact per-lane jitter.
+    """
+    p = static.projector
+    U, h = p.resx, p.resy
+    idx = arr["active_pixels"][aidx]
+    emitter = idx // jnp.int32(h * U)
+    px = (idx % jnp.int32(h * U)) % jnp.int32(U)
+    cid = emitter * jnp.int32(U) + px
+    z = o[:, 2:3]
+    zeros = jnp.zeros_like(z)
+    co = arr["chord_o"][cid]      # (n, K, 2)
+    cd = arr["chord_d"][cid]
+    sg_o = jnp.concatenate([co, jnp.broadcast_to(z[:, None], co[..., :1].shape)], -1)
+    sg_d = jnp.concatenate([cd, jnp.broadcast_to(zeros[:, None], cd[..., :1].shape)], -1)
+    return _sample_first_scatter(static, arr, sg_o, sg_d,
+                                 arr["chord_L"][cid],
+                                 arr["chord_amp"][cid], sampler, lane,
+                                 ctr)
+
+
+def _sample_first_scatter(static: MarchStatic, arr, sg_o, sg_d, sg_L,
+                          sg_amp, sampler, lane, ctr):
+    """Importance-sample the first scatter event from K=2 recorded
+    in-medium segments; see _first_scatter_prologue for the weight
+    derivation. Returns (o1, d1, A_fs, inside1, alive, ctr)."""
+    n = sg_L.shape[0]
+    st = arr["sigma_t"]
     tau = jnp.concatenate([jnp.zeros((n, 1)), sg_L[:, :1]], axis=1)
     mass = sg_amp * jnp.exp(-st * tau) * (1.0 - jnp.exp(-st * sg_L))
     M = jnp.sum(mass, axis=1)
@@ -319,7 +376,7 @@ def _first_scatter_prologue(static: MarchStatic, arr, o, d, sampler,
     take = lambda a: jnp.take_along_axis(
         a, k[:, None, None] if a.ndim == 3 else k[:, None],
         axis=1).squeeze(1)
-    o_k, d_k = take(state["sg_o"]), take(state["sg_d"])
+    o_k, d_k = take(sg_o), take(sg_d)
     L_k, m_k = take(sg_L), take(mass)
     um = jnp.clip((u1 * M - jnp.where(pick1, mass[:, 0], 0.0)) /
                   jnp.maximum(m_k, 1e-30), 0.0, 1.0 - 1e-7)
@@ -348,6 +405,135 @@ def _first_scatter_prologue(static: MarchStatic, arr, o, d, sampler,
     else:
         inside1 = jnp.zeros((n,), jnp.bool_)
     return o1, d1, A_fs, inside1, alive, ctr
+
+
+def fast_residual_eligible(static: MarchStatic) -> bool:
+    """See MarchStatic.fast_residual. True when the medium region is a
+    single convex analytic volume: exactly one non-target surface with
+    medium_side != 0, of CYLINDER or BOX kind with medium_side == 1."""
+    med = [s for s in static.surfaces
+           if s.medium_side != 0 and not s.is_target]
+    return (len(med) == 1 and med[0].medium_side == 1
+            and med[0].kind in (CYLINDER, BOX))
+
+
+def _fast_residual_loop(static: MarchStatic, arr, o, d, A, em, sampler,
+                        lane, ctr, alive, primal, acc, g, dL):
+    """Unrolled scatter-event loop for the forced-first-scatter delta
+    residual in a single convex medium (see MarchStatic.fast_residual).
+
+    State enters AT the forced first scatter event (post-phase-sample):
+    per event, sample the free flight against the convex exit distance
+    (one quadratic / slab test — lanes reaching the boundary die),
+    stage the delta deposit A * (1-albedo) * em at the event voxel
+    (sensor.py:121-191 via delta_segment's weights), attenuate by
+    albedo, Russian-roulette past rr_depth, and phase-sample the new
+    direction. Deposits flush with ONE batched scatter-add (primal) /
+    gather-sum (adjoint) at the end. Event count: the forced event is
+    depth 1 and the reference's depth cap kills paths at max_depth
+    (volume.py:181-199), so up to max_depth - 1 more events run.
+    """
+    n = o.shape[0]
+    st = arr["sigma_t"]
+    al = arr["albedo"]
+    med_i = [i for i, s in enumerate(static.surfaces)
+             if s.medium_side != 0 and not s.is_target][0]
+    med = static.surfaces[med_i]
+    med_p = arr["surf_params"][med_i]
+    bmin, bmax = arr["bbox_min"], arr["bbox_max"]
+    X, Y, Z = static.sensor.res
+    inv_vs = jnp.asarray([X, Y, Z], jnp.float32) / (bmax - bmin)
+    surf_aware = static.sensor.channels == 2
+    if surf_aware:
+        mask = arr["inside_mask_flat"]
+
+    if med.kind == CYLINDER:
+        r, z0, z1 = med_p[0], med_p[1], med_p[2]
+
+        def exit_dist(o, d):
+            # far root of the side quadratic (origin inside the tube)
+            ox, oy = o[..., 0], o[..., 1]
+            dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+            a = dx * dx + dy * dy
+            b = 2.0 * (ox * dx + oy * dy)
+            c = ox * ox + oy * oy - r * r
+            disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+            t_side = jnp.where(a > 1e-20,
+                               (-b + jnp.sqrt(disc)) * 0.5 /
+                               jnp.maximum(a, 1e-20), INF)
+            # the tube is OPEN: a (near-vertical) lane whose side exit
+            # lies beyond the z-caps hits nothing, and both the general
+            # march and the reference (volume.py:193 `active &=
+            # si.is_valid()`) kill it WITHOUT a medium event — return 0
+            # so it dies here too. (Approximation vs the reference when
+            # a target mesh sits in front: events before that crossing
+            # would still deposit there; sub-percent of the residual.)
+            z_hit = o[..., 2] + t_side * dz
+            ok = jnp.isfinite(t_side) & (z_hit >= z0) & (z_hit <= z1)
+            return jnp.where(ok, jnp.maximum(t_side, 0.0), 0.0)
+    else:
+        h = med_p[:3]
+
+        def exit_dist(o, d):
+            inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+            t_lo = (-h - o) * inv_d
+            t_hi = (h - o) * inv_d
+            t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+            return jnp.maximum(t_far, 0.0)
+
+    E = max(static.max_depth - 1, 0)
+    idx_rows, val_rows = [], []
+    inv_st = 1.0 / jnp.maximum(st, 1e-30)
+    base_w = (1.0 - al) * (em if primal else 1.0)
+
+    for j in range(E):
+        # RNG draws mirror the general loop's per-iteration order
+        # (u_rr, u_ff, u_b, u_ph) so a same-seed run replays the same
+        # trajectories — the equivalence test in tests/test_hybrid.py
+        # relies on it, and the adjoint replays either loop identically.
+        u_rr, ctr = sampler.next_1d(lane, ctr)
+        if j + 1 > static.rr_depth:  # depth = j+1 at iteration start
+            q = jnp.minimum(0.99, A)
+            survive = u_rr < q
+            A = jnp.where(alive & survive,
+                          A / jnp.maximum(q, 1e-12), A)
+            alive = alive & survive
+        t_exit = exit_dist(o, d)
+        u, ctr = sampler.next_1d(lane, ctr)
+        t = -jnp.log1p(-jnp.clip(u, 0.0, 1.0 - 1e-7)) * inv_st
+        hit = alive & (t < t_exit)
+        p = o + t[..., None] * d
+
+        if surf_aware:
+            v = jnp.floor((p - bmin) * inv_vs).astype(jnp.int32)
+            ing = jnp.all(v >= 0, -1) & \
+                jnp.all(v < jnp.asarray([X, Y, Z], jnp.int32), -1)
+            fl = v[..., 0] + X * (v[..., 1] + Y * v[..., 2])
+            inside = jnp.where(ing,
+                               mask[jnp.where(ing, fl, 0)] > 0.5, False)
+        else:
+            inside = jnp.zeros((n,), jnp.bool_)
+        flat, in_grid = _voxel_flat(static, p, bmin, inv_vs, inside)
+        m = hit & in_grid
+        idx_rows.append(jnp.where(m, flat, 0))
+        val_rows.append(jnp.where(m, A * base_w, 0.0))
+
+        A = jnp.where(hit, A * al, A)
+        _, ctr = sampler.next_1d(lane, ctr)   # u_b slot (BSDF, unused)
+        u_ph, ctr = sampler.next_2d(lane, ctr)
+        d = sample_phase_direction(static.phase, arr["phase_g"], d,
+                                   u_ph[..., 0], u_ph[..., 1])
+        o = p
+        alive = hit
+
+    if E > 0:
+        idx_buf = jnp.stack(idx_rows)
+        val_buf = jnp.stack(val_rows)
+        if primal:
+            acc = acc.at[idx_buf.ravel()].add(val_buf.ravel())
+        else:
+            g = g + jnp.sum(val_buf * dL[idx_buf], axis=0)
+    return acc, g, ctr
 
 
 # --------------------------------------------------------------------------
@@ -768,10 +954,22 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         # pre-scatter attenuation and the event's albedo factor live in
         # A_fs (see _first_scatter_prologue), so total_t restarts at 0
         # and n_scat at 1 (deposits are live immediately).
-        o, d, A_fs, inside_fs, alive_fs, ctr = _first_scatter_prologue(
-            static, arr, o, d, sampler, lane, ctr)
+        if "chord_L" in arr:
+            o, d, A_fs, inside_fs, alive_fs, ctr = \
+                _first_scatter_from_chords(static, arr, o, aidx,
+                                           sampler, lane, ctr)
+        else:
+            o, d, A_fs, inside_fs, alive_fs, ctr = \
+                _first_scatter_prologue(static, arr, o, d, sampler,
+                                        lane, ctr)
         active0 = active0 & alive_fs
         A0 = jnp.where(active0, A_fs, 0.0)
+        if static.fast_residual and \
+                static.sensor.estimator == "delta" and not radon:
+            acc, g, _ = _fast_residual_loop(
+                static, arr, o, d, A0, em, sampler, lane, ctr,
+                active0, primal, acc, g, dL_flat)
+            return acc, g, L_rad, sg0
         n_scat0 = jnp.ones((n,), jnp.float32)
         in_med0 = active0
         depth0 = jnp.ones((n,), jnp.int32)

@@ -270,6 +270,113 @@ def build_transport(static: MarchStatic, arr, supersample: int = 1):
     return W, UW
 
 
+def build_chords(static: MarchStatic, arr, K: int = 2):
+    """Per-(angle, DMD column) in-medium chord bank for the forced
+    first-scatter residual (march._first_scatter_from_chords).
+
+    For z-invariant transmission-only geometry a pixel's in-medium
+    trajectory is a fixed 2D polyline independent of its DMD row and of
+    the pattern values — the same factorization build_transport exploits
+    for the ballistic dose. This records it explicitly: up to K straight
+    medium segments per (a, u) with entry point, direction, length and
+    the accumulated Fresnel amplitude at entry. Target surfaces must be
+    stripped (strip_target) — a null target crossing would split what is
+    physically one chord. After stripping, every surface is a dielectric
+    vial wall, so each in-medium intersect step IS one complete segment.
+
+    Returns float32 arrays, laid out for one fused gather per lane:
+      seg_o  (A*U, K, 2)  segment entry point (x, y)
+      seg_d  (A*U, K, 2)  unit direction (horizontal; dz == 0 exactly)
+      seg_L  (A*U, K)     length (0 for absent segments)
+      seg_amp(A*U, K)     Fresnel amplitude at segment entry
+    """
+    arr = {k: jnp.asarray(v) for k, v in arr.items()}
+    p = static.projector
+    A, U = p.n_patterns, p.resx
+    n = A * U
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    a_idx = (lane // jnp.uint32(U)).astype(jnp.float32)
+    u_idx = (lane % jnp.uint32(U)).astype(jnp.float32)
+
+    alpha = 2.0 * jnp.pi * a_idx / A
+    if static.clockwise:
+        alpha = -alpha
+    dist = arr["motion_distance"]
+    origin = dist * jnp.stack(
+        [jnp.cos(alpha), jnp.sin(alpha), jnp.zeros_like(alpha)], -1)
+    dirw = -origin / dist
+    up = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    left = jnp.cross(jnp.broadcast_to(up, dirw.shape), dirw)
+    left = left / jnp.linalg.norm(left, axis=-1, keepdims=True)
+    ex = U * arr["pixel_size"][0]
+    cam_x = (0.5 - (u_idx + 0.5) / U) * ex
+    o = origin + cam_x[..., None] * left
+    d = dirw
+
+    bsdf_kind = jnp.asarray([s.bsdf for s in static.surfaces], jnp.int32)
+    med_side = jnp.asarray([s.medium_side for s in static.surfaces],
+                           jnp.int32)
+
+    state = dict(
+        o=o, d=d, amp=jnp.ones((n,), jnp.float32),
+        in_medium=jnp.zeros((n,), jnp.bool_),
+        active=jnp.ones((n,), jnp.bool_),
+        sg_o=jnp.zeros((n, K, 2), jnp.float32),
+        sg_d=jnp.zeros((n, K, 2), jnp.float32),
+        sg_L=jnp.zeros((n, K), jnp.float32),
+        sg_amp=jnp.zeros((n, K), jnp.float32),
+        cnt=jnp.zeros((n,), jnp.int32),
+        it=jnp.int32(0),
+    )
+    max_iters = 2 * len(static.surfaces) + 2
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["it"] < max_iters)
+
+    def body(s):
+        o, d, amp = s["o"], s["d"], s["amp"]
+        active, in_medium = s["active"], s["in_medium"]
+
+        t_si, n_si, sid, valid = intersect_scene(static, arr, o, d,
+                                                 active)
+        active = active & valid
+        seg = in_medium & active & (s["cnt"] < K)
+        onehot = (jnp.arange(K)[None, :] ==
+                  jnp.minimum(s["cnt"], K - 1)[:, None]) & seg[:, None]
+        sg_o = jnp.where(onehot[..., None], o[:, None, :2], s["sg_o"])
+        sg_d = jnp.where(onehot[..., None], d[:, None, :2], s["sg_d"])
+        sg_L = jnp.where(onehot, t_si[:, None], s["sg_L"])
+        sg_amp = jnp.where(onehot, amp[:, None], s["sg_amp"])
+        cnt = s["cnt"] + seg.astype(jnp.int32)
+
+        kind = bsdf_kind[jnp.clip(sid, 0, None)]
+        eta = arr["surf_eta"][jnp.clip(sid, 0, None)]
+        d_t, _, F, tir, eta_rel = refract(d, n_si, eta)
+        w_diel = jnp.where(tir, 0.0, (1.0 - F) / (eta_rel * eta_rel))
+        is_diel = kind == DIELECTRIC
+        is_null = kind == NULL
+        w = jnp.where(is_diel, w_diel, jnp.where(is_null, 1.0, 0.0))
+        d_new = jnp.where(is_diel[..., None], d_t, d)
+
+        o = jnp.where(active[..., None], o + t_si[..., None] * d, o)
+        d = jnp.where(active[..., None], d_new, d)
+        amp = jnp.where(active, amp * w, amp)
+
+        ms = med_side[jnp.clip(sid, 0, None)]
+        dn = jnp.sum(d * n_si, -1)
+        enters = ((ms == 1) & (dn < 0.0)) | ((ms == 2) & (dn > 0.0))
+        in_medium = active & enters
+        active = active & (amp > 0.0)
+        return dict(o=o, d=d, amp=amp, in_medium=in_medium,
+                    active=active, sg_o=sg_o, sg_d=sg_d, sg_L=sg_L,
+                    sg_amp=sg_amp, cnt=cnt, it=s["it"] + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return (state["sg_o"], state["sg_d"], state["sg_L"],
+            state["sg_amp"])
+
+
 def build_z_resample(static: MarchStatic, arr):
     """(Zf, resy) binning matrix from DMD rows to film z-rows.
 

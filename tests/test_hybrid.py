@@ -102,3 +102,42 @@ def test_hybrid_pattern_grad_matches_autodiff(scat_scene, estimator):
     np.testing.assert_allclose(np.asarray(g_expl), np.asarray(g_auto),
                                rtol=1e-5, atol=1e-6 * float(
                                    jnp.abs(g_auto).max()))
+
+
+def test_fast_residual_matches_general_bitwise(scat_scene):
+    """The specialized convex-medium event loop (march._fast_residual_loop)
+    draws RNG in the general march's per-iteration order, so at the SAME
+    seed it must replay the exact same trajectories: primal renders and
+    adjoint gradients agree bitwise, not just in expectation."""
+    import dataclasses
+    from drtvam_tpu.ops.render import render, render_raw
+    from drtvam_tpu.ops.transport2d import strip_target, build_chords
+    from drtvam_tpu.ops.march import fast_residual_eligible
+    scene, static, arr, inv_vol, n = scat_scene
+    assert fast_residual_eligible(static)
+    sensor = dataclasses.replace(static.sensor, estimator="delta")
+    st_gen = dataclasses.replace(static, scattered_only=True,
+                                 first_scatter=True, sensor=sensor)
+    st_fast = dataclasses.replace(st_gen, fast_residual=True)
+    st2, arr2 = strip_target(st_gen, arr)
+    co, cd, cL, camp = jax.jit(build_chords,
+                               static_argnums=(0, 2))(st2, arr2)
+    arrB = dict(arr)
+    arrB["chord_o"], arrB["chord_d"] = co, cd
+    arrB["chord_L"], arrB["chord_amp"] = cL, camp
+    data = jnp.linspace(0.2, 1.0, n, dtype=jnp.float32)
+    for seed in (3, 11):
+        a = np.asarray(render(st_gen, arrB, data, inv_vol, seed=seed,
+                              spp=4, chunk=1 << 15))
+        b = np.asarray(render(st_fast, arrB, data, inv_vol, seed=seed,
+                              spp=4, chunk=1 << 15))
+        np.testing.assert_array_equal(a, b)
+    w = jnp.asarray(np.random.default_rng(5).uniform(
+        0, 1, (16, 32, 32, 1)).astype(np.float32))
+    ga = jax.grad(lambda p: jnp.vdot(
+        render(st_gen, arrB, p, inv_vol, seed=7, spp=2,
+               chunk=1 << 15), w))(data)
+    gb = jax.grad(lambda p: jnp.vdot(
+        render(st_fast, arrB, p, inv_vol, seed=7, spp=2,
+               chunk=1 << 15), w))(data)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
