@@ -214,11 +214,22 @@ class DeviceLinearLBFGS:
         integrator change) keeping the accumulated history state."""
         self._dir_fn = dir_fn
         self._cand_fn = cand_fn
+        # THREE dispatches per step, not one: fusing the direction
+        # RENDER into the same program as the history update made XLA
+        # plan the render's working set alongside the (m, n) history
+        # buffers and per-n temporaries — at the 256^3 surface-aware
+        # benchmark scale that single program planned 24.3 GB of HBM
+        # (the chip has 15.75) and failed AT COMPILE. Split, each
+        # program's peak fits; the 2 extra dispatch round-trips cost
+        # ~tens of ms against a ~30 s iteration.
         # the state pytree (S/Yh history, p_old/g_old — up to ~3 GB at
         # 64M patterns) is donated: its buffers are dead the moment the
         # step returns the new state, and donation lets XLA update the
         # circular history slot in place instead of copying 2.6 GB
-        self._step_j = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._pre_j = jax.jit(self._pre_impl, donate_argnums=(0,))
+        self._dir_j = jax.jit(lambda z, step_args:
+                              self._dir_fn(z, *step_args))
+        self._post_j = jax.jit(self._post_impl)
 
     def init_state(self, p0):
         n = p0.shape[0]
@@ -233,7 +244,8 @@ class DeviceLinearLBFGS:
             head=jnp.int32(0), nvalid=jnp.int32(0),
         )
 
-    def _step_impl(self, st, p, g, vol, loss, step_args):
+    def _pre_impl(self, st, p, g):
+        """History insert + two-loop direction (per-n arrays only)."""
         m = self.m
         sv = p - st["p_old"]
         yv = g - st["g_old"]
@@ -251,9 +263,13 @@ class DeviceLinearLBFGS:
         nvalid = jnp.where(accept, jnp.minimum(nvalid + 1, m), nvalid)
 
         z = lbfgs_direction(g, S, Yh, ys, head, nvalid, m)
-        dvol = self._dir_fn(z, *step_args)
         g_dot_z = jnp.dot(g, z)
+        new_state = dict(t=st["t"] + 1, p_old=p, g_old=g, S=S, Yh=Yh,
+                         ys=ys, head=head, nvalid=nvalid)
+        return z, g_dot_z, new_state
 
+    def _post_impl(self, p, z, vol, dvol, loss, g_dot_z, step_args):
+        """On-device Armijo search + clamped parameter update."""
         def cand(vol, dvol, alpha, zz):
             return self._cand_fn(vol, dvol, alpha, zz, *step_args)
 
@@ -262,17 +278,18 @@ class DeviceLinearLBFGS:
         p_new = p + alpha * z
         if self.clamp:
             p_new = jnp.maximum(p_new, 0.0)
-        new_state = dict(t=st["t"] + 1, p_old=p, g_old=g, S=S, Yh=Yh,
-                         ys=ys, head=head, nvalid=nvalid)
-        return p_new, alpha, new_state
+        return p_new, alpha
 
     def step(self, p, g, vol, loss, step_args=()):
-        """Returns updated (clamped) patterns; all-device, one dispatch."""
+        """Returns updated (clamped) patterns; all-device, three
+        dispatches (see rebind)."""
         if self._state is None or \
                 self._state["p_old"].shape != p.shape:
             self._state = self.init_state(p)
-        p_new, alpha, self._state = self._step_j(
-            self._state, p, g, vol, loss, step_args)
+        z, g_dot_z, self._state = self._pre_j(self._state, p, g)
+        dvol = self._dir_j(z, step_args)
+        p_new, alpha = self._post_j(p, z, vol, dvol, loss, g_dot_z,
+                                    step_args)
         self.last_alpha = alpha
         return p_new
 

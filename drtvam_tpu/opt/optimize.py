@@ -282,15 +282,31 @@ def optimize(config, patterns_fwd=None, resolve_path=None):
 
     # ---- DMD pixel culling (optimize.py:143-185) -------------------------
     if config.get("filter_radon", False) and patterns_fwd is None:
-        static_r, arr_r = scene.build(
-            mode="radon", include_target=True, max_depth=5,
+        from ..ops.transport2d import unscattered_eligible
+        static_v, arr_v = scene.build(
+            mode="volume", include_target=False, max_depth=5,
             rr_depth=rr_depth, print_time=1.0,
             transmission_only=transmission_only,
             regular_sampling=regular_sampling)
-        img = np.asarray(_block(render_radon(
-            static_r, arr_r, seed=0, spp=config.get("spp_filter_radon", 4),
-            chunk=chunk)))
-        active = np.nonzero(img > 0.0)[0].astype(np.int32)
+        if unscattered_eligible(static_v):
+            # transport-eligible scene: the radon>0 test is one
+            # transpose matmul of the target occupancy (see
+            # ops/ballistic.radon_active_ballistic) — same kept-pixel
+            # set as the reference's radon render, ~1000x cheaper
+            from ..ops.ballistic import radon_active_ballistic
+            cull_mask = target if not surface_aware \
+                else np.asarray(sensor.discretize(tb))
+            active = radon_active_ballistic(static_v, arr_v, cull_mask)
+        else:
+            static_r, arr_r = scene.build(
+                mode="radon", include_target=True, max_depth=5,
+                rr_depth=rr_depth, print_time=1.0,
+                transmission_only=transmission_only,
+                regular_sampling=regular_sampling)
+            img = np.asarray(_block(render_radon(
+                static_r, arr_r, seed=0,
+                spp=config.get("spp_filter_radon", 4), chunk=chunk)))
+            active = np.nonzero(img > 0.0)[0].astype(np.int32)
         if active.size == 0:
             raise ValueError(
                 "Radon culling removed every DMD pixel — no ray ever "
