@@ -388,7 +388,13 @@ def radon_active_ballistic(static: MarchStatic, arr, target_mask):
     culling scale is the one workload observed to fault the backend).
 
     target_mask: (Z, Y, X) or (Z, Y, X, 1) binary target occupancy in
-    the SENSOR grid. Returns int32 indices of the DMD pixels to keep.
+    the SENSOR grid. Returns int32 indices of the DMD pixels to keep,
+    always in DENSE flat (pattern, row, col) numbering — when the
+    projector already has a sparse active set (cropped windows, or
+    patterns + filter_nonzero), pattern_grad's output is active-subset-
+    relative and is mapped back through the sparse store here, because
+    every caller (Projector.set_active, the legacy radon render path)
+    speaks dense flat DMD indices.
     """
     import dataclasses as _dc
     st1 = _dc.replace(static, sensor=_dc.replace(static.sensor,
@@ -397,4 +403,7 @@ def radon_active_ballistic(static: MarchStatic, arr, target_mask):
     X, Y, Z = st1.sensor.res
     mask = jnp.asarray(target_mask, jnp.float32).reshape(Z, Y, X, 1)
     g = np.asarray(eng.pattern_grad(mask, jnp.float32(1.0)))
-    return np.nonzero(g > 0.0)[0].astype(np.int32)
+    idx = np.nonzero(g > 0.0)[0]
+    if not eng.identity_pixels:
+        idx = np.asarray(eng.active_pixels)[idx]
+    return idx.astype(np.int32)

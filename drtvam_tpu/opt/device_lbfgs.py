@@ -178,9 +178,10 @@ def fused_linear_lbfgs(value_grad_fn, dir_fn, cand_fn, p0, n_steps,
 class DeviceLinearLBFGS:
     """Host-steppable wrapper holding device-side history state.
 
-    One `.step()` = ONE jitted dispatch (history update + two-loop
-    direction + direction render + on-device Armijo search + clamped
-    update) — for drivers that need per-iteration control (timing
+    One `.step()` = THREE jitted dispatches (history update + two-loop
+    direction; the direction render; on-device Armijo search + clamped
+    update — see rebind() for why the render must live in its own
+    program) — for drivers that need per-iteration control (timing
     artifacts, checkpointing, progressive schedules) but should not pay
     ~25 host round-trips per iteration like opt/lbfgs.LinearLBFGS.
     """

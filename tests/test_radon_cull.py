@@ -62,8 +62,45 @@ def test_analytic_cull_matches_radon_render(box_hole_mesh, albedo):
     assert len(diff) <= 0.02 * n, \
         f"cull sets differ on {len(diff)}/{n} pixels"
     # every differing pixel must be a boundary pixel: its immediate
-    # left/right DMD neighbor (same pattern/row) is kept by BOTH culls
+    # left/right DMD neighbor IN THE SAME ROW is kept by BOTH culls
+    # (flat i±1 alone could cross a row or pattern boundary and
+    # accidentally accept the first pixel of the next row as a witness)
     both = active_a & active_r
+    resx = scene.projector.resx
     for i in diff:
-        assert (i + 1 in both) or (i - 1 in both), \
-            f"non-boundary cull disagreement at flat pixel {i}"
+        col = i % resx
+        ok = (col + 1 < resx and i + 1 in both) or \
+             (col - 1 >= 0 and i - 1 in both)
+        assert ok, f"non-boundary cull disagreement at flat pixel {i}"
+
+
+def test_analytic_cull_sparse_store_dense_indices(box_hole_mesh):
+    """When the projector already holds a SPARSE active set (cropped
+    window / filter_nonzero), radon_active_ballistic must still return
+    DENSE flat DMD indices: pattern_grad's output is active-subset-
+    relative and has to be mapped back through the sparse store.
+    Regression test for the round-4 advisor finding (wrong pixels
+    silently activated for cropped projectors)."""
+    from drtvam_tpu.ops.ballistic import radon_active_ballistic
+
+    scene = _scene(box_hole_mesh, 0.0)
+    mask = np.asarray(scene.sensor.discretize(scene.target_bank()))
+
+    static_d, arr_d = scene.build(mode="volume", include_target=False,
+                                  max_depth=5, rr_depth=6)
+    dense_kept = set(radon_active_ballistic(static_d, arr_d,
+                                            mask).tolist())
+
+    # restrict the projector to every other dense pixel, then cull again
+    n_dense = np.prod(scene.projector.size())
+    subset = np.arange(0, n_dense, 2, dtype=np.int32)
+    scene.projector.set_active(subset,
+                               np.zeros(subset.size, np.float32))
+    static_s, arr_s = scene.build(mode="volume", include_target=False,
+                                  max_depth=5, rr_depth=6)
+    sparse_kept = set(radon_active_ballistic(static_s, arr_s,
+                                             mask).tolist())
+
+    assert sparse_kept, "sparse cull kept nothing"
+    # dense numbering: exactly the even-index survivors of the dense cull
+    assert sparse_kept == {i for i in dense_kept if i % 2 == 0}
