@@ -34,8 +34,10 @@ persistently (.jax_cache) so reruns — including fresh processes — skip
 it; the cold first-run total is reported separately in "extra" so
 nothing hides.
 """
+import hashlib
 import json
 import os
+import signal
 import sys
 import time
 
@@ -49,15 +51,71 @@ os.environ.setdefault("DRTVAM_BUILD_LOG", "1")
 
 import jax
 
+
+def _cache_dir():
+    """Persistent-cache dir keyed by HOST CPU + jaxlib version: the
+    cache also holds XLA:CPU AOT executables (host-side chord-bank /
+    band-span compiles), and loading one compiled on a different
+    machine risks SIGILL (observed as machine-feature-mismatch errors
+    in the r04 bench tail). Host-keying trades cross-host cache warmth
+    for never loading a foreign CPU executable."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    key = hashlib.sha1(
+        (flags + jax.__version__).encode()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_cache", key)
+
+
 # NOTE: set via jax.config, not env — the environment's sitecustomize
 # imports jax before this script runs, so JAX_COMPILATION_CACHE_DIR in
 # os.environ is read too late to take effect.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import jax.numpy as jnp
+
+# -- wall-clock budget --------------------------------------------------
+# The driver runs `python bench.py` under an external timeout; a kill
+# means rc 124 and NO recorded number (this erased rounds 3 AND 4). The
+# script therefore enforces its own budget: optional phases are skipped
+# when the remaining budget can't fit them (estimated from measured
+# warmup), optimization loops abort at the deadline, and a SIGALRM/
+# SIGTERM backstop re-prints the latest checkpointed JSON line and
+# exits 0 — the headline result survives no matter what.
+T_START = time.time()
+BUDGET_S = float(os.environ.get("DRTVAM_BENCH_BUDGET_S", "480"))
+
+
+def remaining_s():
+    return BUDGET_S - (time.time() - T_START)
+
+
+_LATEST = {"line": None}
+
+
+def checkpoint(obj):
+    """Print (and remember) the current best result line."""
+    _LATEST["line"] = json.dumps(obj)
+    print(_LATEST["line"], flush=True)
+
+
+def _bail(signum, frame):
+    print(f"# budget backstop: signal {signum} at "
+          f"{time.time() - T_START:.0f}s — emitting latest checkpoint",
+          file=sys.stderr, flush=True)
+    if _LATEST["line"] is not None:
+        print(_LATEST["line"], flush=True)
+        os._exit(0)
+    os._exit(1)  # nothing to report: a timeout before ballistic
+
+
+signal.signal(signal.SIGTERM, _bail)
+signal.signal(signal.SIGALRM, _bail)
+signal.alarm(int(BUDGET_S + 25))  # backstop just past the soft budget
 
 L40S_BALLISTIC_S = 23.0    # README.md:131, cylindrical 1 ray/pixel
 L40S_SCATTERING_S = 850.0  # README.md:133, cylindrical scattering 16 rpp
@@ -282,8 +340,9 @@ def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None):
         return DeviceLinearLBFGS(dir_fn=dir_fn, cand_fn=cand_fn,
                                  history_dtype=jnp.bfloat16)
 
-    def optimize(opt, n_steps):
+    def optimize(opt, n_steps, deadline=None):
         data = jnp.zeros((n,), jnp.float32)
+        done = 0
         for i in range(n_steps):
             seed = jnp.uint32(i)
             vol, loss = primal_j(data, seed, ep, inv_vol, target)
@@ -291,18 +350,27 @@ def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None):
             data = jax.block_until_ready(
                 opt.step(data, grad, vol, loss,
                          step_args=(seed, ep, inv_vol, target)))
-        return data, float(loss)
+            done = i + 1
+            if deadline is not None and time.time() > deadline and \
+                    done < n_steps:
+                print(f"# {tag}: budget deadline hit at iter {done}/"
+                      f"{n_steps} — aborting loop", file=sys.stderr)
+                break
+        return data, float(loss), done
 
     t0 = time.time()
     _ = optimize(make_opt(), 1)  # compile all step programs
     t_warm = phase(f"{tag}: warmup (jit compile + 1 iter)", t0)
 
+    # leave room after the loop for the 3 gate renders + prints
+    deadline = T_START + BUDGET_S - 35.0
     t0 = time.time()
-    p_fin, last_loss = optimize(make_opt(), N_STEPS)
-    t_loop = phase(f"{tag}: {N_STEPS}-iter loop "
+    p_fin, last_loss, n_done = optimize(make_opt(), N_STEPS,
+                                        deadline=deadline)
+    t_loop = phase(f"{tag}: {n_done}-iter loop "
                    f"(spp {SCAT_SPP} residual)", t0)
     print(f"# {tag}: final loss {last_loss:.3e}", file=sys.stderr)
-    return p_fin, t_warm, t_loop
+    return p_fin, t_warm, t_loop, n_done
 
 
 def run_scattering(loss_obj):
@@ -327,19 +395,22 @@ def run_scattering(loss_obj):
     # per-iteration dispatches (not one fused mega-dispatch): each
     # dispatch traces 3 x n x spp rays; keeping dispatches seconds-long
     # avoids network-transport timeouts on tunneled TPUs
-    p_fin, t_warm, t_loop = hybrid_lbfgs_opt(
+    p_fin, t_warm, t_loop, n_done = hybrid_lbfgs_opt(
         eng, loss_obj, inv_vol, target, n, tag="scattering", ep=ep)
 
     # quality gate on the EXPECTED dose (physical light is noise-free):
     # high-spp final renders (the reference's spp_ref convention),
     # averaged over 3 seeds so MC noise near the bar can't flake the
     # gate — each seed a SEPARATE eager dispatch (see best_iou_abs).
+    # When the budget is nearly spent, fall back to a single seed.
+    n_seeds = 3 if remaining_s() > 45 else 1
     vol_g = sum(jax.block_until_ready(
         eng.render_vol(p_fin, inv_vol, seed=jnp.uint32(990 + k),
-                       params=ep, spp=GATE_SPP)) for k in range(3)) / 3.0
+                       params=ep, spp=GATE_SPP))
+        for k in range(n_seeds)) / n_seeds
     iou, thr = best_iou_abs(vol_g[..., 0], target[..., 0])
     print(f"# scattering: best IoU {iou:.4f} @ threshold {thr:.3f} "
-          f"(3x spp-{GATE_SPP} first-scatter reference renders)",
+          f"({n_seeds}x spp-{GATE_SPP} first-scatter reference renders)",
           file=sys.stderr)
 
     wall = t_scene + t_build + t_loop
@@ -348,6 +419,7 @@ def run_scattering(loss_obj):
               "loop_s": round(t_loop, 2),
               "compile_warmup_s": round(t_warm, 2),
               "residual_spp": SCAT_SPP,
+              "iters_run": n_done,
               "iou": round(iou, 4)}
     return wall, iou, extras
 
@@ -398,19 +470,21 @@ def run_surface_aware():
     t_build = phase("surface-aware: engine build + upload", t0)
 
     loss_obj = ThresholdedLoss({"tl": 0.9, "tu": 0.95})
-    p_fin, t_warm, t_loop = hybrid_lbfgs_opt(
+    p_fin, t_warm, t_loop, n_done = hybrid_lbfgs_opt(
         eng, loss_obj, inv_vol, target, n, tag="surface-aware", ep=ep)
 
     # gate: physical dose density per voxel = the channel the voxel
     # belongs to; IoU vs the binary occupancy under the absolute sweep
     mask_j = jnp.asarray(mask, jnp.float32)
+    n_seeds = 3 if remaining_s() > 45 else 1
     vol_g = sum(jax.block_until_ready(
         eng.render_vol(p_fin, inv_vol, seed=jnp.uint32(990 + k),
-                       params=ep, spp=GATE_SPP)) for k in range(3)) / 3.0
+                       params=ep, spp=GATE_SPP))
+        for k in range(n_seeds)) / n_seeds
     combined = jnp.where(mask_j > 0.5, vol_g[..., 0], vol_g[..., 1])
     iou, thr = best_iou_abs(combined, mask_j)
     print(f"# surface-aware: best IoU {iou:.4f} @ threshold {thr:.3f} "
-          f"(3x spp-{GATE_SPP} first-scatter reference renders)",
+          f"({n_seeds}x spp-{GATE_SPP} first-scatter reference renders)",
           file=sys.stderr)
 
     wall = t_scene + t_cull + t_build + t_loop
@@ -421,6 +495,7 @@ def run_surface_aware():
               "compile_warmup_s": round(t_warm, 2),
               "pixels_kept_pct": round(kept, 2),
               "residual_spp": SCAT_SPP,
+              "iters_run": n_done,
               "iou": round(iou, 4)}
     return wall, iou, extras
 
@@ -464,48 +539,83 @@ def main():
         f"ballistic IoU {iou_b:.4f} below the {IOU_BAR} quality bar — " \
         "the speed number would be meaningless; failing loudly."
 
-    # emit the ballistic result NOW: if the scattering phase dies, this
-    # line is already on stdout (r03 lost its ballistic number to a
-    # scattering crash). On success the final combined line, printed
-    # last, supersedes it.
-    print(json.dumps(ballistic_metric(wall_b, ext_b, [ext_b])),
-          flush=True)
+    # emit the ballistic result NOW: if a later phase dies, this line is
+    # already on stdout AND the signal backstop re-prints it (r03/r04
+    # lost their ballistic numbers to scattering crash / driver timeout)
+    checkpoint(ballistic_metric(wall_b, ext_b, [ext_b]))
 
     extra = []
-    skip_scat = os.environ.get("DRTVAM_BENCH_SKIP_SCATTERING") == "1"
-    if not skip_scat:
-        gc.collect()  # drop the ballistic phase's engines/executables
-        wall_s, iou_s, ext_s = run_scattering(loss_obj)
-        assert iou_s >= IOU_BAR, \
-            f"scattering IoU {iou_s:.4f} below the {IOU_BAR} bar."
-        extra.append({
+
+    def scat_metric(wall_s, iou_s, ext_s):
+        gated = iou_s >= IOU_BAR and ext_s["iters_run"] == N_STEPS
+        m = {
             "metric": f"benchy-class (phantom rev r03) cylindrical "
                       f"SCATTERING albedo 0.5 "
                       f"{N_ANGLES} angles {DMD}x{DMD} DMD {FILM}^3 film "
-                      f"{N_STEPS}-iter LinearLBFGS (hybrid engine, "
-                      f"residual spp {SCAT_SPP}; quality-gated IoU>="
-                      f"{IOU_BAR}) vs L40S 14m10s",
-            "value": round(wall_s, 3), "unit": "s",
-            "vs_baseline": round(L40S_SCATTERING_S / wall_s, 3),
-            **ext_s})
-        # checkpoint the two-metric result before the third workload
-        print(json.dumps(ballistic_metric(wall_b, ext_b,
-                                          extra + [ext_b])), flush=True)
+                      f"{ext_s['iters_run']}-iter LinearLBFGS (hybrid "
+                      f"engine, residual spp {SCAT_SPP}; quality-gated "
+                      f"IoU>={IOU_BAR}) vs L40S 14m10s",
+            "value": round(wall_s, 3), "unit": "s", **ext_s}
+        if gated:
+            m["vs_baseline"] = round(L40S_SCATTERING_S / wall_s, 3)
+        else:
+            m["gate_failed"] = (f"iou {iou_s:.4f} < {IOU_BAR}"
+                                if iou_s < IOU_BAR else
+                                f"only {ext_s['iters_run']}/{N_STEPS} "
+                                f"iters before budget deadline")
+        return m
 
-        gc.collect()
-        wall_sa, iou_sa, ext_sa = run_surface_aware()
-        assert iou_sa >= IOU_BAR, \
-            f"surface-aware IoU {iou_sa:.4f} below the {IOU_BAR} bar."
-        extra.append({
+    def sa_metric(wall_sa, iou_sa, ext_sa):
+        gated = iou_sa >= IOU_BAR and ext_sa["iters_run"] == N_STEPS
+        m = {
             "metric": f"benchy-class (phantom rev r03) square SCATTERING"
                       f" albedo 0.5 + SURFACE-AWARE loss + Radon-culled "
                       f"black pixels, {N_ANGLES} angles {DMD}x{DMD} DMD "
-                      f"{FILM}^3 film {N_STEPS}-iter LinearLBFGS "
-                      f"(hybrid engine, residual spp {SCAT_SPP}; "
-                      f"quality-gated IoU>={IOU_BAR}) vs L40S 3m45s",
-            "value": round(wall_sa, 3), "unit": "s",
-            "vs_baseline": round(L40S_SURFACE_S / wall_sa, 3),
-            **ext_sa})
+                      f"{FILM}^3 film {ext_sa['iters_run']}-iter "
+                      f"LinearLBFGS (hybrid engine, residual spp "
+                      f"{SCAT_SPP}; quality-gated IoU>={IOU_BAR}) "
+                      f"vs L40S 3m45s",
+            "value": round(wall_sa, 3), "unit": "s", **ext_sa}
+        if gated:
+            m["vs_baseline"] = round(L40S_SURFACE_S / wall_sa, 3)
+        else:
+            m["gate_failed"] = (f"iou {iou_sa:.4f} < {IOU_BAR}"
+                                if iou_sa < IOU_BAR else
+                                f"only {ext_sa['iters_run']}/{N_STEPS} "
+                                f"iters before budget deadline")
+        return m
+
+    skip_scat = os.environ.get("DRTVAM_BENCH_SKIP_SCATTERING") == "1"
+    # a scattering phase needs >= build (~25 s) + warmup compile (up to
+    # ~130 s cold) + a useful slice of the loop; below 200 s of budget
+    # starting one can't produce a gated number — keep what we have
+    if not skip_scat and remaining_s() > 200:
+        gc.collect()  # drop the ballistic phase's engines/executables
+        wall_s, iou_s, ext_s = run_scattering(loss_obj)
+        extra.append(scat_metric(wall_s, iou_s, ext_s))
+        # checkpoint the two-metric result before the third workload
+        checkpoint(ballistic_metric(wall_b, ext_b, extra + [ext_b]))
+
+        # the third workload costs about as much as the second (same
+        # engine class; the culled pixel set shrinks the loop) — start
+        # it only if a full gated run plausibly fits
+        est_sa = ext_s["engine_build_s"] + ext_s["compile_warmup_s"] \
+            + ext_s["loop_s"] + 45.0
+        if remaining_s() > min(200.0, est_sa):
+            gc.collect()
+            wall_sa, iou_sa, ext_sa = run_surface_aware()
+            extra.append(sa_metric(wall_sa, iou_sa, ext_sa))
+        else:
+            print(f"# surface-aware phase skipped: {remaining_s():.0f}s "
+                  f"left of the {BUDGET_S:.0f}s budget (needs "
+                  f"~{est_sa:.0f}s)", file=sys.stderr)
+            extra.append({"metric": "surface-aware workload skipped "
+                                    "(budget)", "value": None})
+    elif not skip_scat:
+        print(f"# scattering phases skipped: {remaining_s():.0f}s left "
+              f"of the {BUDGET_S:.0f}s budget", file=sys.stderr)
+        extra.append({"metric": "scattering workloads skipped (budget)",
+                      "value": None})
 
     total = time.time() - t_all
     print(f"# first-run total incl. backend init + compiles: "
@@ -517,7 +627,7 @@ def main():
         "value": round(total, 1), "unit": "s",
     })
 
-    print(json.dumps(ballistic_metric(wall_b, ext_b, extra + [ext_b])))
+    checkpoint(ballistic_metric(wall_b, ext_b, extra + [ext_b]))
 
 
 if __name__ == "__main__":

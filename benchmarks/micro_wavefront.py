@@ -13,10 +13,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# cache dir set via jax.config below (env var is read too early
+# by the sitecustomize jax import to take effect)
 
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/micro")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import jax.numpy as jnp
 
 

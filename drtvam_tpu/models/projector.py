@@ -66,6 +66,12 @@ class ProjectorStatic:
     resx: int
     resy: int
     n_active: int
+    # sparse pattern store is the dense identity map (no culling/crop):
+    # ray generation then derives pixel ids arithmetically instead of
+    # gathering active_pixels — at 64M lanes that random-access gather
+    # is one of the hottest ops in the whole wavefront (TPU profile:
+    # ~25 ms per 1M-lane chunk)
+    identity: bool = False
 
 
 class Projector:
@@ -202,7 +208,8 @@ class Projector:
 
     def static(self):
         return ProjectorStatic(self.kind, self.n_patterns, self.resx,
-                               self.resy, self.active_size())
+                               self.resy, self.active_size(),
+                               identity=bool(self.dense_identity))
 
     def arrays(self):
         return {
@@ -224,7 +231,8 @@ def sample_rays(pstat: ProjectorStatic, parr, active_pixels, lane, spp,
     separately by `ray_weight`.
     """
     aidx = (lane // jnp.uint32(spp)).astype(jnp.int32)
-    idx = active_pixels[aidx]
+    # identity store: pixel id == active index, no 64M-table gather
+    idx = aidx if pstat.identity else active_pixels[aidx]
     w, h = pstat.resx, pstat.resy
     emitter_idx = idx // (h * w)
     pixel_idx = idx % (h * w)

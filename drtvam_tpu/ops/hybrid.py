@@ -110,8 +110,13 @@ class ScatteringEngine:
                 import sys
                 print(f"#   engine build: chord bank (host cpu): "
                       f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
-            (arr["chord_o"], arr["chord_d"],
-             arr["chord_L"], arr["chord_amp"]) = bank
+            co, cd, cL, camp = bank
+            # packed (n_cid, 12) record table: the march gathers ONE
+            # record per lane instead of four separate field gathers
+            n_cid = cL.shape[0]
+            arr["chord_pack"] = np.concatenate(
+                [co.reshape(n_cid, 4), cd.reshape(n_cid, 4),
+                 cL, camp], axis=1).astype(np.float32)
             if static.sensor.channels == 2:
                 # the prologue seeds the surface-aware channel flag from
                 # the voxelized inside-mask at the sampled event point

@@ -342,20 +342,32 @@ def _first_scatter_from_chords(static: MarchStatic, arr, o, aidx,
     """
     p = static.projector
     U, h = p.resx, p.resy
-    idx = arr["active_pixels"][aidx]
+    idx = aidx if p.identity else arr["active_pixels"][aidx]
     emitter = idx // jnp.int32(h * U)
     px = (idx % jnp.int32(h * U)) % jnp.int32(U)
     cid = emitter * jnp.int32(U) + px
     z = o[:, 2:3]
     zeros = jnp.zeros_like(z)
-    co = arr["chord_o"][cid]      # (n, K, 2)
-    cd = arr["chord_d"][cid]
+    # ONE packed-record gather instead of four: separate per-field
+    # gathers each pay the full random-access cost (TPU profile: 4 of
+    # the top-10 fusions). The pack is loop-invariant, so XLA hoists it
+    # out of the chunk loop when the engine didn't prepack on host.
+    if "chord_pack" in arr:
+        rec = arr["chord_pack"]
+    else:
+        n_cid = arr["chord_L"].shape[0]
+        rec = jnp.concatenate(
+            [arr["chord_o"].reshape(n_cid, 4),
+             arr["chord_d"].reshape(n_cid, 4),
+             arr["chord_L"], arr["chord_amp"]], axis=1)
+    rec = rec[cid]                                   # (n, 12)
+    co = rec[:, 0:4].reshape(-1, 2, 2)
+    cd = rec[:, 4:8].reshape(-1, 2, 2)
     sg_o = jnp.concatenate([co, jnp.broadcast_to(z[:, None], co[..., :1].shape)], -1)
     sg_d = jnp.concatenate([cd, jnp.broadcast_to(zeros[:, None], cd[..., :1].shape)], -1)
     return _sample_first_scatter(static, arr, sg_o, sg_d,
-                                 arr["chord_L"][cid],
-                                 arr["chord_amp"][cid], sampler, lane,
-                                 ctr)
+                                 rec[:, 8:10], rec[:, 10:12],
+                                 sampler, lane, ctr)
 
 
 def _sample_first_scatter(static: MarchStatic, arr, sg_o, sg_d, sg_L,
@@ -372,10 +384,11 @@ def _sample_first_scatter(static: MarchStatic, arr, sg_o, sg_d, sg_L,
 
     u1, ctr = sampler.next_1d(lane, ctr)
     pick1 = (u1 * M > mass[:, 0]) & (sg_L[:, 1] > 0.0)
-    k = pick1.astype(jnp.int32)
-    take = lambda a: jnp.take_along_axis(
-        a, k[:, None, None] if a.ndim == 3 else k[:, None],
-        axis=1).squeeze(1)
+    # K == 2: a where-select, NOT take_along_axis — the latter lowers
+    # to a per-lane gather (5 of them showed up in the TPU profile at
+    # ~15 ms per 1M-lane chunk each); the select is a fused VPU op
+    take = lambda a: jnp.where(
+        pick1[:, None] if a.ndim == 3 else pick1, a[:, 1], a[:, 0])
     o_k, d_k = take(sg_o), take(sg_d)
     L_k, m_k = take(sg_L), take(mass)
     um = jnp.clip((u1 * M - jnp.where(pick1, mass[:, 0], 0.0)) /
@@ -898,7 +911,7 @@ def delta_segment(static, arr, primal, acc, g, dL, o, d, t_prev, mei_t,
 
 
 def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
-                    dL_flat=None, acc=None, n_valid=None):
+                    dL_flat=None, acc=None, n_valid=None, em=None):
     """Trace one wavefront chunk.
 
     Returns (acc, g, L_radon, (stg, ssg)):
@@ -910,6 +923,10 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
       'radon':          L_radon = per-lane accumulated in-target absorption
 
     n_valid: lanes with id >= n_valid are padding and stay inactive.
+    em: optional per-lane emitted intensity (BEFORE the ray-weight
+    scalar). When lanes are pixel-contiguous the caller can produce it
+    with a dynamic-slice of active_data (ops/render._forward) — far
+    cheaper than the random-access 64M-table gather done here otherwise.
     """
     primal = dL_flat is None
     # numpy (or custom_vjp-wrapped) leaves -> device arrays: scene dicts
@@ -926,7 +943,9 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         ctr, static.regular_sampling, static.sample_time, static.clockwise)
 
     w_scalar = ray_weight(static.projector, parr, spp, arr["print_time"])
-    em = arr["active_data"][aidx] * w_scalar
+    if em is None:
+        em = arr["active_data"][aidx]
+    em = em * w_scalar
 
     bsdf_kind = _static_i32([s.bsdf for s in static.surfaces])
     has_diffuse = any(s.bsdf == DIFFUSE for s in static.surfaces)
@@ -954,7 +973,7 @@ def trace_wavefront(static: MarchStatic, arr, lane, seed, spp,
         # pre-scatter attenuation and the event's albedo factor live in
         # A_fs (see _first_scatter_prologue), so total_t restarts at 0
         # and n_scat at 1 (deposits are live immediately).
-        if "chord_L" in arr:
+        if "chord_L" in arr or "chord_pack" in arr:
             o, d, A_fs, inside_fs, alive_fs, ctr = \
                 _first_scatter_from_chords(static, arr, o, aidx,
                                            sampler, lane, ctr)

@@ -51,23 +51,36 @@ def default_chunk():
     return DEFAULT_CHUNK_CPU if platform == "cpu" else DEFAULT_CHUNK_TPU
 
 
-def _chunking(n_lanes, chunk):
-    chunk = max(1, min(chunk, n_lanes))
+def _chunking(n_lanes, chunk, spp=1):
+    # pixel-aligned chunks: all spp lanes of a pixel land in the same
+    # chunk, so per-chunk emitter values / pattern gradients are plain
+    # dynamic slices of active_data (no 64M-table gather / scatter)
+    chunk = max(spp, min(chunk, n_lanes))
+    chunk -= chunk % spp
     return chunk, -(-n_lanes // chunk)
 
 
 def _forward(static: MarchStatic, arr, active_data, seed, spp, chunk):
-    n_lanes = static.projector.n_active * spp
-    chunk, n_chunks = _chunking(n_lanes, chunk)
+    n_active = static.projector.n_active
+    n_lanes = n_active * spp
+    chunk, n_chunks = _chunking(n_lanes, chunk, spp)
+    npix = chunk // spp
     arr2 = dict(arr)
     arr2["active_data"] = active_data
+    # zero-padded copy so the last chunk's slice is in range (padding
+    # lanes are masked dead via n_valid)
+    ad_pad = jnp.zeros((n_chunks * npix,), jnp.float32) \
+        .at[:n_active].set(active_data) if n_chunks * npix > n_active \
+        else active_data
     acc0 = jnp.zeros((static.sensor.n_cells,), jnp.float32)
     lane_base = jnp.arange(chunk, dtype=jnp.uint32)
 
     def body(i, acc):
         lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
+        em = jnp.repeat(jax.lax.dynamic_slice(ad_pad, (i * npix,),
+                                              (npix,)), spp)
         acc, _, _, _ = trace_wavefront(static, arr2, lane, seed, spp,
-                                       acc=acc, n_valid=n_lanes)
+                                       acc=acc, n_valid=n_lanes, em=em)
         return acc
 
     if n_chunks == 1:
@@ -79,34 +92,47 @@ def _adjoint(static: MarchStatic, arr, seed, spp, chunk, dL_flat,
              active_data=None):
     n_active = static.projector.n_active
     n_lanes = n_active * spp
-    chunk, n_chunks = _chunking(n_lanes, chunk)
+    chunk, n_chunks = _chunking(n_lanes, chunk, spp)
+    npix = chunk // spp
+    n_pad = n_chunks * npix
     arr2 = dict(arr)
     # em never contributes to adjoint PATTERN deposits (march.py uses 1
     # in place of em when primal=False), but the medium cotangents need
     # the real emitted intensities (reference sensor.py contrib has em
     # detached-but-present). Zeros keep the trace identical otherwise.
-    if active_data is None or not static.medium_grads:
-        arr2["active_data"] = jnp.zeros((n_active,), jnp.float32)
-    else:
+    want_em = active_data is not None and static.medium_grads
+    if want_em:
         arr2["active_data"] = active_data
+        ad_pad = jnp.zeros((n_pad,), jnp.float32) \
+            .at[:n_active].set(active_data) if n_pad > n_active \
+            else active_data
+    else:
+        arr2["active_data"] = jnp.zeros((n_active,), jnp.float32)
     lane_base = jnp.arange(chunk, dtype=jnp.uint32)
-    pg0 = jnp.zeros((n_active,), jnp.float32)
+    pg0 = jnp.zeros((n_pad,), jnp.float32)
     sg0 = (jnp.float32(0.0), jnp.float32(0.0))
 
     def body(i, carry):
         pg, stg, ssg = carry
         lane = lane_base + jnp.uint32(i) * jnp.uint32(chunk)
+        em = jnp.repeat(jax.lax.dynamic_slice(ad_pad, (i * npix,),
+                                              (npix,)), spp) \
+            if want_em else jnp.zeros((chunk,), jnp.float32)
         _, g, _, sg = trace_wavefront(static, arr2, lane, seed, spp,
-                                      dL_flat=dL_flat, n_valid=n_lanes)
-        aidx = jnp.minimum(lane // jnp.uint32(spp),
-                           jnp.uint32(n_active - 1)).astype(jnp.int32)
-        return (pg.at[aidx].add(g), stg + sg[0], ssg + sg[1])
+                                      dL_flat=dL_flat, n_valid=n_lanes,
+                                      em=em)
+        # lanes are pixel-contiguous: the per-pixel gradient block is a
+        # reshape-sum + dynamic-update-slice, not a 64M scatter-add
+        g_pix = g.reshape(npix, spp).sum(axis=1)
+        blk = jax.lax.dynamic_slice(pg, (i * npix,), (npix,))
+        pg = jax.lax.dynamic_update_slice(pg, blk + g_pix, (i * npix,))
+        return (pg, stg + sg[0], ssg + sg[1])
 
     carry = body(0, (pg0,) + sg0) if n_chunks == 1 else \
         jax.lax.fori_loop(0, n_chunks, body, (pg0,) + sg0)
     pg, stg, ssg = carry
     w = ray_weight(static.projector, arr, spp, arr["print_time"])
-    return pg * w, stg, ssg
+    return pg[:n_active] * w, stg, ssg
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
