@@ -17,14 +17,24 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/micro")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import jax.numpy as jnp
 
+
+def hard_sync(x):
+    """Force completion via a device->host read: on the tunneled axon
+    backend block_until_ready returns before execution finishes, which
+    silently turns timing loops into async-dispatch measurements."""
+    import numpy as _np
+    for leaf in jax.tree_util.tree_leaves(x):
+        _np.asarray(jnp.ravel(leaf)[:1])
+    return x
+
 A, U, FILM = 400, 400, 256
 
 
 def timeit(fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))
+    out = hard_sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = hard_sync(fn(*args))
     return (time.perf_counter() - t0) / reps, out
 
 

@@ -22,6 +22,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import jax.numpy as jnp
 
 
+def hard_sync(x):
+    """Force completion via a device->host read: on the tunneled axon
+    backend block_until_ready returns before execution finishes, which
+    silently turns timing loops into async-dispatch measurements."""
+    import numpy as _np
+    for leaf in jax.tree_util.tree_leaves(x):
+        _np.asarray(jnp.ravel(leaf)[:1])
+    return x
+
+
 def build(albedo, extinction, film, dmd, n_patterns):
     from drtvam_tpu.models.scene import Scene
     from drtvam_tpu.ops.mesh import make_box_with_hole, save_ply
@@ -83,7 +93,7 @@ def main():
                            chunk=args.chunk, estimator=args.estimator,
                            first_scatter=not args.no_first_scatter)
     ep = eng.params()
-    jax.block_until_ready(ep["ball"]["W"])
+    hard_sync(ep["ball"]["W"])
     t_build = time.perf_counter() - t0
     print(f"# platform={jax.devices()[0].platform} dmd={args.dmd} "
           f"angles={args.angles} spp={args.spp}/{spp_grad} "
@@ -95,11 +105,11 @@ def main():
                                                  params=p))
     seed = jnp.uint32(0)
     t0 = time.perf_counter()
-    vol = jax.block_until_ready(fwd(data, ep, seed))
+    vol = hard_sync(fwd(data, ep, seed))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for r in range(args.reps):
-        vol = jax.block_until_ready(fwd(data, ep, jnp.uint32(r)))
+        vol = hard_sync(fwd(data, ep, jnp.uint32(r)))
     t_fwd = (time.perf_counter() - t0) / args.reps
 
     w = (vol * 1e-6)
@@ -110,10 +120,10 @@ def main():
             lambda dd: jnp.vdot(eng.render_vol(dd, inv_vol, seed=s,
                                                params=p), w))(d)
 
-    jax.block_until_ready(gfn(data, ep, seed))
+    hard_sync(gfn(data, ep, seed))
     t0 = time.perf_counter()
     for r in range(args.reps):
-        jax.block_until_ready(gfn(data, ep, jnp.uint32(r)))
+        hard_sync(gfn(data, ep, jnp.uint32(r)))
     t_bwd = (time.perf_counter() - t0) / args.reps
 
     n_rays_f = n * args.spp

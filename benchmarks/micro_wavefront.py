@@ -23,6 +23,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import jax.numpy as jnp
 
 
+def hard_sync(x):
+    """Force completion via a device->host read: on the tunneled axon
+    backend block_until_ready returns before execution finishes, which
+    silently turns timing loops into async-dispatch measurements."""
+    import numpy as _np
+    for leaf in jax.tree_util.tree_leaves(x):
+        _np.asarray(jnp.ravel(leaf)[:1])
+    return x
+
+
 def build(albedo, film, dmd, n_patterns, estimator="dda"):
     from drtvam_tpu.models.scene import Scene
     from drtvam_tpu.ops.mesh import make_box_with_hole, save_ply
@@ -81,20 +91,20 @@ def main():
             static, arr_, d, inv_vol, seed=0, spp=args.spp,
             chunk=args.chunk))
         t0 = time.perf_counter()
-        vol = jax.block_until_ready(fwd(data, arr))
+        vol = hard_sync(fwd(data, arr))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            vol = jax.block_until_ready(fwd(data, arr))
+            vol = hard_sync(fwd(data, arr))
         t_fwd = (time.perf_counter() - t0) / args.reps
 
         dL = (vol * 1e-6).reshape(-1)
         bwd = jax.jit(lambda arr_, dL_: _adjoint(
             static, arr_, jnp.uint32(0), args.spp, args.chunk, dL_)[0])
-        jax.block_until_ready(bwd(arr, dL))
+        hard_sync(bwd(arr, dL))
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            jax.block_until_ready(bwd(arr, dL))
+            hard_sync(bwd(arr, dL))
         t_bwd = (time.perf_counter() - t0) / args.reps
 
         print(f"albedo={albedo}: fwd {t_fwd*1e3:9.1f} ms "

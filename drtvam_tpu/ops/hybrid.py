@@ -78,7 +78,19 @@ class ScatteringEngine:
     def __init__(self, static: MarchStatic, arr, spp: int = 4,
                  spp_grad: int | None = None, chunk: int | None = None,
                  inside_mask=None, estimator: str | None = None,
-                 first_scatter: bool = True):
+                 first_scatter: bool = True,
+                 residual_max_depth: int | None = None):
+        """residual_max_depth: depth cap for the scattered residual
+        only (None keeps the scene's max_depth). The reference counts
+        SURFACE events toward max_depth (volume.py:271), so with its
+        default cap of 6 a vial path that crossed 2-3 dielectric
+        interfaces gets only ~2 medium events after its first scatter;
+        our residual lanes skip the surface prefix entirely, so the
+        scene cap would grant them max_depth-1 events — strictly more
+        than the reference estimator traces. Passing a reduced cap
+        (e.g. 4 = forced first scatter + 3 more events) restores the
+        reference-equivalent event budget and cuts the deposit-flush
+        traffic, the residual march's dominant TPU cost."""
         assert hybrid_eligible(static), \
             "scene is not hybrid-eligible (needs scattering + " \
             "z-invariant collimated geometry)"
@@ -125,6 +137,8 @@ class ScatteringEngine:
         self.static_s = dataclasses.replace(
             static, scattered_only=True, sensor=sensor,
             first_scatter=first_scatter,
+            max_depth=(static.max_depth if residual_max_depth is None
+                       else residual_max_depth),
             fast_residual=(first_scatter
                            and sensor.estimator == "delta"
                            and fast_residual_eligible(static)))

@@ -98,45 +98,69 @@ def armijo_search(cand_fn, vol, dvol, z, loss, g_dot_z,
 
 
 def fused_linear_lbfgs(value_grad_fn, dir_fn, cand_fn, p0, n_steps,
-                       m=5, search_it=20, c1=1e-4, clamp=True):
+                       m=5, search_it=20, c1=1e-4, clamp=True,
+                       history_dtype=jnp.float32, pass_iter=False,
+                       state=None, stop_i=None, return_state=False):
     """Run the full Linear-L-BFGS loop on device; call INSIDE jit.
 
     Args:
         value_grad_fn: p -> (vol, loss, grad). The fused primal render +
-            loss + adjoint for the current patterns.
-        dir_fn: z -> dvol. Render of the search direction (the
-            linearity trick, lbfgs.py:248).
+            loss + adjoint for the current patterns. With
+            pass_iter=True it is called as value_grad_fn(p, i) with the
+            traced iteration index — MC renders use it as the per-step
+            sampler seed (reference optimize.py:294).
+        dir_fn: z -> dvol (or (z, i) -> dvol with pass_iter). Render of
+            the search direction (the linearity trick, lbfgs.py:248).
         cand_fn: (vol, dvol, alpha, z) -> loss of `vol + alpha*dvol`
             with the sparsity term on z (reference quirk).
         p0: initial flat pattern vector (n,).
         n_steps: static iteration count.
         clamp: clamp patterns >= 0 after each step (optimize.py:320).
+        history_dtype: storage dtype of the S/Yh circular buffers —
+            bfloat16 halves the 2*(m, n) history HBM footprint (2.6 GB
+            at n = 64M); curvature scalars and two-loop dot products
+            stay f32 (see DeviceLinearLBFGS.__init__).
 
     Returns (p, loss_hist, n_done): final patterns, per-step losses
     (entries past an early break repeat the converged loss' step index
     semantics of the host loop: they stay 0), steps actually run.
+
+    Segmented runs (`state` / `stop_i` / `return_state`): passing
+    return_state=True appends the loop-carry pytree to the return
+    value; feeding it back via `state` resumes exactly where the last
+    call stopped (the global iteration counter — and with it the MC
+    seed sequence — continues). `stop_i` (traced int) caps this call at
+    iteration stop_i instead of n_steps, so a host driver can run the
+    fused loop in K-iteration dispatches with wall-clock budget checks
+    between them without recompiling per segment.
     """
     n = p0.shape[0]
-    S0 = jnp.zeros((m, n), jnp.float32)
-    Y0 = jnp.zeros((m, n), jnp.float32)
-    ys0 = jnp.ones((m,), jnp.float32)
 
-    state = dict(
-        i=jnp.int32(0), done=jnp.bool_(False),
-        p=p0.astype(jnp.float32),
-        p_old=jnp.zeros_like(p0, jnp.float32),
-        g_old=jnp.zeros_like(p0, jnp.float32),
-        S=S0, Yh=Y0, ys=ys0,
-        head=jnp.int32(0), nvalid=jnp.int32(0),
-        loss_hist=jnp.zeros((n_steps,), jnp.float32),
-    )
+    if state is None:
+        state = dict(
+            i=jnp.int32(0), done=jnp.bool_(False),
+            p=p0.astype(jnp.float32),
+            p_old=jnp.zeros_like(p0, jnp.float32),
+            g_old=jnp.zeros_like(p0, jnp.float32),
+            S=jnp.zeros((m, n), history_dtype),
+            Yh=jnp.zeros((m, n), history_dtype),
+            ys=jnp.ones((m,), jnp.float32),
+            head=jnp.int32(0), nvalid=jnp.int32(0),
+            loss_hist=jnp.zeros((n_steps,), jnp.float32),
+        )
+
+    stop = jnp.int32(n_steps) if stop_i is None else \
+        jnp.minimum(jnp.asarray(stop_i, jnp.int32), n_steps)
 
     def cond(s):
-        return (s["i"] < n_steps) & ~s["done"]
+        return (s["i"] < stop) & ~s["done"]
 
     def body(s):
         p = s["p"]
-        vol, loss, g = value_grad_fn(p)
+        if pass_iter:
+            vol, loss, g = value_grad_fn(p, s["i"])
+        else:
+            vol, loss, g = value_grad_fn(p)
         loss_hist = s["loss_hist"].at[s["i"]].set(loss)
         done = loss == 0.0
 
@@ -148,14 +172,15 @@ def fused_linear_lbfgs(value_grad_fn, dir_fn, cand_fn, p0, n_steps,
         accept = (s["i"] > 0) & jnp.isfinite(ysv) & \
             (ysv > 1e-10 * jnp.maximum(norm, 1e-30))
         head, nvalid = s["head"], s["nvalid"]
-        S = _insert_row(s["S"], sv, head, accept)
-        Yh = _insert_row(s["Yh"], yv, head, accept)
+        S = _insert_row(s["S"], sv.astype(s["S"].dtype), head, accept)
+        Yh = _insert_row(s["Yh"], yv.astype(s["Yh"].dtype), head,
+                         accept)
         ys = s["ys"].at[head].set(jnp.where(accept, ysv, s["ys"][head]))
         head = jnp.where(accept, (head + 1) % m, head)
         nvalid = jnp.where(accept, jnp.minimum(nvalid + 1, m), nvalid)
 
         z = lbfgs_direction(g, S, Yh, ys, head, nvalid, m)
-        dvol = dir_fn(z)
+        dvol = dir_fn(z, s["i"]) if pass_iter else dir_fn(z)
         g_dot_z = jnp.dot(g, z)
         alpha = armijo_search(cand_fn, vol, dvol, z, loss, g_dot_z,
                               search_it, c1)
@@ -172,6 +197,8 @@ def fused_linear_lbfgs(value_grad_fn, dir_fn, cand_fn, p0, n_steps,
         )
 
     out = jax.lax.while_loop(cond, body, state)
+    if return_state:
+        return out["p"], out["loss_hist"], out["i"], out
     return out["p"], out["loss_hist"], out["i"]
 
 

@@ -235,3 +235,50 @@ def test_checkpoint_roundtrip():
 
     np.testing.assert_allclose(np.asarray(p_resumed), np.asarray(p_full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_segmented_matches_one_shot():
+    """Segmented execution (state/stop_i/return_state) with pass_iter
+    and bf16 history must reproduce the one-shot fused run exactly:
+    the loop carry round-trips through the host untouched and stop_i
+    only caps the while condition."""
+    render, loss_fn, p0, n_steps = _problem()
+
+    def value_grad(p, i):
+        # fold the iteration index in like a per-step MC seed would be
+        vol = render(p) * (1.0 + 0.0 * i)
+        loss = loss_fn(vol, p)
+        grad = jax.grad(lambda q: loss_fn(render(q), q))(p)
+        return vol, loss, grad
+
+    def dir_fn(z, i):
+        return render(z)
+
+    def cand(vol, dvol, alpha, z):
+        return loss_fn(vol + alpha * dvol, z)
+
+    kw = dict(history_dtype=jnp.bfloat16, pass_iter=True)
+    one = jax.jit(lambda p: fused_linear_lbfgs(
+        value_grad, dir_fn, cand, p, n_steps, **kw))
+    p_one, hist_one, done_one = jax.block_until_ready(one(p0))
+
+    seg = jax.jit(lambda st, stop, p: fused_linear_lbfgs(
+        value_grad, dir_fn, cand, p, n_steps, state=st, stop_i=stop,
+        return_state=True, **kw))
+    state = None
+    p_seg = p0
+    for stop in (2, 5, n_steps):
+        if state is None:
+            p_seg, hist_seg, done_seg, state = jax.block_until_ready(
+                jax.jit(lambda p, stop: fused_linear_lbfgs(
+                    value_grad, dir_fn, cand, p, n_steps,
+                    stop_i=stop, return_state=True, **kw))(
+                        p0, jnp.int32(stop)))
+        else:
+            p_seg, hist_seg, done_seg, state = jax.block_until_ready(
+                seg(state, jnp.int32(stop), p0))
+
+    assert int(done_seg) == int(done_one)
+    np.testing.assert_array_equal(np.asarray(p_seg), np.asarray(p_one))
+    np.testing.assert_array_equal(np.asarray(hist_seg),
+                                  np.asarray(hist_one))
