@@ -33,6 +33,16 @@ optimization. jit compilation is excluded via warm-up AND cached
 persistently (.jax_cache) so reruns — including fresh processes — skip
 it; the cold first-run total is reported separately in "extra" so
 nothing hides.
+
+Robustness: the script enforces its own wall-clock budget
+(DRTVAM_BENCH_BUDGET_S, default 480 s) — optional phases are skipped
+when they can't fit, optimization loops run in bounded device
+dispatches with budget checks between them, each completed result is
+checkpointed to stdout immediately, and a watchdog THREAD (signals
+defer while a tunneled dispatch stalls; the GIL does not) re-prints
+the latest checkpoint and exits 0 just past the budget. A driver-side
+timeout can therefore never again erase a completed measurement
+(rounds 3 and 4 both lost theirs).
 """
 import hashlib
 import json
@@ -152,13 +162,14 @@ IOU_BAR = 0.98
 # benchmark's albedo 0.5 — the IoU gate below is what certifies it.
 SCAT_SPP = 1
 GATE_SPP = 4        # per-seed final-render rays/pixel (x3 seeds)
-# residual depth cap 4 = forced first scatter + 3 more medium events.
+# residual depth cap 5 = forced first scatter + 4 more medium events.
 # The reference counts SURFACE events toward its max_depth=6
 # (volume.py:271), so its benchmark paths cross 2-3 vial interfaces
 # first and get only ~2 medium events after their first scatter — this
-# budget is still one event MORE than the reference estimator traces,
-# at 2/5 the deposit-flush traffic of the naive scene-cap setting.
-RESID_DEPTH = 4
+# budget is two events MORE than the reference estimator traces, at
+# 3/5 the deposit-flush traffic of the naive scene-cap setting.
+# (Depth 4 measured IoU 0.9796 — a hair under the 0.98 gate.)
+RESID_DEPTH = int(os.environ.get("DRTVAM_BENCH_RESID_DEPTH", "5"))
 
 
 def build_scene(albedo=0.0, square=False, surface_aware=False):
@@ -410,7 +421,12 @@ def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None):
                                   pass_iter=True, state=state,
                                   stop_i=stop_i, return_state=True)
 
-    K = int(os.environ.get("DRTVAM_BENCH_SEG", "10"))
+    # segment size 1: a 10-iteration segment (~70 s in one dispatch)
+    # crashed the TPU worker ("kernel fault"), while every observed
+    # dispatch under ~30 s survives — the tunneled worker appears to
+    # enforce an execution time limit. Per-dispatch overhead measured
+    # negligible, so one fused iteration per dispatch loses nothing.
+    K = int(os.environ.get("DRTVAM_BENCH_SEG", "1"))
 
     # compile warmup: one real iteration on a throwaway state
     t0 = time.time()
