@@ -352,7 +352,8 @@ def run_ballistic(loss_obj):
     return wall, iou, extras
 
 
-def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None):
+def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None,
+                     fused=True):
     """Fused LinearLBFGS loop for the hybrid engine workloads, run in
     K-iteration device dispatches. One while-loop program holds primal
     render + adjoint + direction render + Armijo search: the tunneled
@@ -361,12 +362,24 @@ def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None):
     spent more wall-clock between programs than in them. Segmenting (vs
     one 40-iter dispatch) keeps wall-clock budget checks between
     dispatches without recompiling — stop_i is a traced argument.
+
+    fused=False falls back to split dispatches (primal, adjoint, and
+    DeviceLinearLBFGS's three step programs): the SURFACE-AWARE
+    workload's fused program failed AT COMPILE planning 24.9 GB of the
+    15.75 GB HBM (2-channel film + per-voxel inv_vol + the non-identity
+    culled pattern store enlarge the while-body's live set); split,
+    each program's peak fits — the same fix round 3's OOM forced.
+
     Returns (p_final, warmup_s, loop_s, n_done)."""
     from drtvam_tpu.opt.device_lbfgs import fused_linear_lbfgs
     import drtvam_tpu.opt.loss  # noqa: F401  (registry import order)
 
     if ep is None:
         ep = eng.params()
+
+    if not fused:
+        return _hybrid_split_opt(eng, loss_obj, inv_vol, target, n, tag,
+                                 ep)
 
     data0 = jnp.zeros((n,), jnp.float32)
 
@@ -462,6 +475,89 @@ def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None):
     return p_fin, t_warm, t_loop, n_done
 
 
+def gate_volume(eng, p_fin, inv_vol, ep, n_seeds):
+    """Averaged high-spp final render for the IoU gate, one JITTED
+    dispatch per seed with in-place accumulation. The eager version
+    left enough intermediates live that the surface-aware gate's
+    subsequent (tiny) IoU-sweep compile OOM'd by 322 MB."""
+    import gc
+    gc.collect()
+
+    @jax.jit
+    def render1(p, ep, iv, seed):
+        return eng.render_vol(p, iv, seed=seed, params=ep, spp=GATE_SPP)
+
+    vol_g = None
+    for k in range(n_seeds):
+        r = hard_sync(render1(p_fin, ep, inv_vol, jnp.uint32(990 + k)))
+        vol_g = r if vol_g is None else hard_sync(vol_g + r)
+    return vol_g / n_seeds
+
+
+def _hybrid_split_opt(eng, loss_obj, inv_vol, target, n, tag, ep):
+    """Split-dispatch fallback: primal + adjoint + the three
+    DeviceLinearLBFGS step programs per iteration (ballistic-only
+    direction render, bf16 donated history). Used where the fused
+    while-body's planned live set exceeds HBM (surface-aware)."""
+    from drtvam_tpu.opt.device_lbfgs import DeviceLinearLBFGS
+
+    @jax.jit
+    def primal_j(data, seed, ep, iv, tgt):
+        vol = eng.render_vol(data, iv, seed=seed, params=ep)
+        return vol, loss_obj(vol, tgt, data)
+
+    @jax.jit
+    def adjoint_j(vol, data, seed, ep, iv, tgt):
+        dvol, dpat = jax.grad(
+            lambda v, q: loss_obj(v, tgt, q), argnums=(0, 1))(vol, data)
+        return eng.pattern_grad(dvol, iv, seed=seed, params=ep) + dpat
+
+    def dir_fn(z, seed, ep, iv, tgt):
+        # analytic-component-only candidate direction (see the fused
+        # path's dir_fn for why this cannot bias the solution)
+        return eng.ball.render_vol(z, iv, params=ep["ball"])
+
+    def cand_fn(vol, dvol, alpha, z, seed, ep, iv, tgt):
+        return loss_obj(vol + alpha * dvol, tgt, z)
+
+    def make_opt():
+        return DeviceLinearLBFGS(dir_fn=dir_fn, cand_fn=cand_fn,
+                                 history_dtype=jnp.bfloat16)
+
+    def optimize(opt, n_steps, deadline=None):
+        data = jnp.zeros((n,), jnp.float32)
+        loss = jnp.float32(0.0)
+        done = 0
+        for i in range(n_steps):
+            seed = jnp.uint32(i)
+            vol, loss = primal_j(data, seed, ep, inv_vol, target)
+            grad = adjoint_j(vol, data, seed, ep, inv_vol, target)
+            data = opt.step(data, grad, vol, loss,
+                            step_args=(seed, ep, inv_vol, target))
+            hard_sync(data)
+            done = i + 1
+            if deadline is not None and time.time() > deadline and \
+                    done < n_steps:
+                print(f"# {tag}: budget deadline hit at iter {done}/"
+                      f"{n_steps} — aborting loop", file=sys.stderr)
+                break
+        return data, float(loss), done
+
+    t0 = time.time()
+    _ = optimize(make_opt(), 1)  # compile all step programs
+    t_warm = phase(f"{tag}: warmup (jit compile + 1 iter, split "
+                   f"dispatches)", t0)
+
+    deadline = T_START + BUDGET_S - 35.0
+    t0 = time.time()
+    p_fin, last_loss, n_done = optimize(make_opt(), N_STEPS,
+                                        deadline=deadline)
+    t_loop = phase(f"{tag}: {n_done}-iter loop "
+                   f"(spp {SCAT_SPP} residual, split dispatches)", t0)
+    print(f"# {tag}: final loss {last_loss:.3e}", file=sys.stderr)
+    return p_fin, t_warm, t_loop, n_done
+
+
 def run_scattering(loss_obj):
     """Scattering workload via the hybrid engine; (wall_s, iou, extras)."""
     from drtvam_tpu.ops.hybrid import ScatteringEngine
@@ -491,13 +587,12 @@ def run_scattering(loss_obj):
     # quality gate on the EXPECTED dose (physical light is noise-free):
     # high-spp final renders (the reference's spp_ref convention),
     # averaged over 3 seeds so MC noise near the bar can't flake the
-    # gate — each seed a SEPARATE eager dispatch (see best_iou_abs).
-    # When the budget is nearly spent, fall back to a single seed.
+    # gate — one jitted dispatch per seed (gate_volume; r03 traced all
+    # 3 renders into ONE program and the 1.5B-lane dispatch crashed the
+    # TPU worker). When the budget is nearly spent, fall back to a
+    # single seed.
     n_seeds = 3 if remaining_s() > 45 else 1
-    vol_g = sum(hard_sync(
-        eng.render_vol(p_fin, inv_vol, seed=jnp.uint32(990 + k),
-                       params=ep, spp=GATE_SPP))
-        for k in range(n_seeds)) / n_seeds
+    vol_g = gate_volume(eng, p_fin, inv_vol, ep, n_seeds)
     iou, thr = best_iou_abs(vol_g[..., 0], target[..., 0])
     print(f"# scattering: best IoU {iou:.4f} @ threshold {thr:.3f} "
           f"({n_seeds}x spp-{GATE_SPP} first-scatter reference renders)",
@@ -562,16 +657,14 @@ def run_surface_aware():
 
     loss_obj = ThresholdedLoss({"tl": 0.9, "tu": 0.95})
     p_fin, t_warm, t_loop, n_done = hybrid_lbfgs_opt(
-        eng, loss_obj, inv_vol, target, n, tag="surface-aware", ep=ep)
+        eng, loss_obj, inv_vol, target, n, tag="surface-aware", ep=ep,
+        fused=False)
 
     # gate: physical dose density per voxel = the channel the voxel
     # belongs to; IoU vs the binary occupancy under the absolute sweep
     mask_j = jnp.asarray(mask, jnp.float32)
     n_seeds = 3 if remaining_s() > 45 else 1
-    vol_g = sum(hard_sync(
-        eng.render_vol(p_fin, inv_vol, seed=jnp.uint32(990 + k),
-                       params=ep, spp=GATE_SPP))
-        for k in range(n_seeds)) / n_seeds
+    vol_g = gate_volume(eng, p_fin, inv_vol, ep, n_seeds)
     combined = jnp.where(mask_j > 0.5, vol_g[..., 0], vol_g[..., 1])
     iou, thr = best_iou_abs(combined, mask_j)
     print(f"# surface-aware: best IoU {iou:.4f} @ threshold {thr:.3f} "
