@@ -254,9 +254,35 @@ def best_iou_abs(vol, target):
     """vol/target: (Z, Y, X) single-channel device arrays. The renders
     feeding `vol` are dispatched EAGERLY by the callers, one per seed —
     r03 traced 3 spp-16 renders into ONE jitted gate program and the
-    1.5B-lane dispatch crashed the TPU worker."""
-    i, t = _iou_sweep(vol, target)
-    return float(i), float(t)
+    1.5B-lane dispatch crashed the TPU worker.
+
+    Falls back to an exact host-side sweep when the device program
+    can't run (the surface-aware phase's sweep compile deterministically
+    reported a phantom 16.06 GB HBM plan on the tunneled backend): with
+    vo/vv = dose values of object/void voxels sorted once,
+    |pred & t|(thr) = #vo > thr and |pred | t|(thr) = |t| + #vv > thr,
+    so the 301-threshold sweep is two searchsorted calls per threshold.
+    """
+    try:
+        i, t = _iou_sweep(vol, target)
+        return float(i), float(t)
+    except Exception as e:
+        print(f"# device IoU sweep failed ({type(e).__name__}) — exact "
+              f"host-side sweep", file=sys.stderr)
+        v = np.asarray(vol).ravel()
+        tm = np.asarray(target).ravel() > 0.5
+        vo = np.sort(v[tm])
+        vv = np.sort(v[~tm])
+        n_t = vo.size
+        best_i, best_t = 0.0, 0.0
+        for thr in np.linspace(0.0, 1.3, 301):
+            inter = n_t - np.searchsorted(vo, thr, side="right")
+            union = n_t + (vv.size - np.searchsorted(vv, thr,
+                                                     side="right"))
+            iou = inter / max(union, 1)
+            if iou > best_i:
+                best_i, best_t = float(iou), float(thr)
+        return best_i, best_t
 
 
 def make_lbfgs_run(eng, loss_obj, inv_vol, n_steps, hybrid=False):
