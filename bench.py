@@ -501,6 +501,25 @@ def hybrid_lbfgs_opt(eng, loss_obj, inv_vol, target, n, tag, ep=None,
     return p_fin, t_warm, t_loop, n_done
 
 
+def mem_report(tag):
+    """Top live device allocations (stderr) — the surface-aware phase
+    ran the chip to 16.06/15.75 GB at gate time and the culprit was
+    not identifiable from the OOM alone."""
+    import collections
+    try:
+        la = jax.live_arrays()
+    except Exception:
+        return
+    tot = sum(a.nbytes for a in la)
+    print(f"# mem[{tag}]: {len(la)} live arrays, {tot / 1e9:.2f} GB",
+          file=sys.stderr)
+    by = collections.Counter()
+    for a in la:
+        by[(str(a.shape), str(a.dtype))] += a.nbytes
+    for (shape, dt), v in by.most_common(8):
+        print(f"#   {v / 1e6:9.1f} MB  {shape} {dt}", file=sys.stderr)
+
+
 def gate_volume(eng, p_fin, inv_vol, ep, n_seeds):
     """Averaged high-spp final render for the IoU gate, one JITTED
     dispatch per seed with in-place accumulation. The eager version
@@ -569,8 +588,12 @@ def _hybrid_split_opt(eng, loss_obj, inv_vol, target, n, tag, ep):
                 break
         return data, float(loss), done
 
+    import gc
+
     t0 = time.time()
     _ = optimize(make_opt(), 1)  # compile all step programs
+    gc.collect()  # DeviceLinearLBFGS's jit-of-bound-method cycles keep
+    #               its ~1 GB history alive until the cycle collector runs
     t_warm = phase(f"{tag}: warmup (jit compile + 1 iter, split "
                    f"dispatches)", t0)
 
@@ -581,6 +604,14 @@ def _hybrid_split_opt(eng, loss_obj, inv_vol, target, n, tag, ep):
     t_loop = phase(f"{tag}: {n_done}-iter loop "
                    f"(spp {SCAT_SPP} residual, split dispatches)", t0)
     print(f"# {tag}: final loss {last_loss:.3e}", file=sys.stderr)
+    # release the optimizer history AND every compiled executable: the
+    # backend held ~12 GB beyond the Python-visible arrays after this
+    # loop (per-executable workspace), and the gate render then OOM'd
+    # a nearly-full chip. Gate programs reload from the persistent
+    # compilation cache.
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
     return p_fin, t_warm, t_loop, n_done
 
 
@@ -688,9 +719,11 @@ def run_surface_aware():
 
     # gate: physical dose density per voxel = the channel the voxel
     # belongs to; IoU vs the binary occupancy under the absolute sweep
+    mem_report("surface-aware pre-gate")
     mask_j = jnp.asarray(mask, jnp.float32)
     n_seeds = 3 if remaining_s() > 45 else 1
     vol_g = gate_volume(eng, p_fin, inv_vol, ep, n_seeds)
+    mem_report("surface-aware post-gate-render")
     combined = jnp.where(mask_j > 0.5, vol_g[..., 0], vol_g[..., 1])
     iou, thr = best_iou_abs(combined, mask_j)
     print(f"# surface-aware: best IoU {iou:.4f} @ threshold {thr:.3f} "
