@@ -98,7 +98,7 @@ import jax.numpy as jnp
 # SIGTERM backstop re-prints the latest checkpointed JSON line and
 # exits 0 — the headline result survives no matter what.
 T_START = time.time()
-BUDGET_S = float(os.environ.get("DRTVAM_BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("DRTVAM_BENCH_BUDGET_S", "510"))
 
 
 def remaining_s():
@@ -114,9 +114,18 @@ def checkpoint(obj):
     print(_LATEST["line"], flush=True)
 
 
+_CHILD = {"proc": None}
+
+
 def _emit_and_exit(why):
     print(f"# budget backstop: {why} at {time.time() - T_START:.0f}s — "
           f"emitting latest checkpoint", file=sys.stderr, flush=True)
+    proc = _CHILD["proc"]
+    if proc is not None and proc.poll() is None:
+        try:
+            proc.kill()  # don't orphan a phase child holding the TPU
+        except OSError:
+            pass
     if _LATEST["line"] is not None:
         print(_LATEST["line"], flush=True)
         sys.stdout.flush()
@@ -758,8 +767,158 @@ def ballistic_metric(wall_b, ext_b, extra):
     }
 
 
+def scat_metric(wall_s, iou_s, ext_s):
+    gated = iou_s >= IOU_BAR and ext_s["iters_run"] == N_STEPS
+    m = {
+        "metric": f"benchy-class (phantom rev r03) cylindrical "
+                  f"SCATTERING albedo 0.5 "
+                  f"{N_ANGLES} angles {DMD}x{DMD} DMD {FILM}^3 film "
+                  f"{ext_s['iters_run']}-iter LinearLBFGS (hybrid "
+                  f"engine, residual spp {SCAT_SPP}; quality-gated "
+                  f"IoU>={IOU_BAR}) vs L40S 14m10s",
+        "value": round(wall_s, 3), "unit": "s", **ext_s}
+    if gated:
+        m["vs_baseline"] = round(L40S_SCATTERING_S / wall_s, 3)
+    else:
+        m["gate_failed"] = (f"iou {iou_s:.4f} < {IOU_BAR}"
+                            if iou_s < IOU_BAR else
+                            f"only {ext_s['iters_run']}/{N_STEPS} "
+                            f"iters before budget deadline")
+    return m
+
+
+def sa_metric(wall_sa, iou_sa, ext_sa):
+    gated = iou_sa >= IOU_BAR and ext_sa["iters_run"] == N_STEPS
+    m = {
+        "metric": f"benchy-class (phantom rev r03) square SCATTERING"
+                  f" albedo 0.5 + SURFACE-AWARE loss + Radon-culled "
+                  f"black pixels, {N_ANGLES} angles {DMD}x{DMD} DMD "
+                  f"{FILM}^3 film {ext_sa['iters_run']}-iter "
+                  f"LinearLBFGS (hybrid engine, residual spp "
+                  f"{SCAT_SPP}; quality-gated IoU>={IOU_BAR}) "
+                  f"vs L40S 3m45s",
+        "value": round(wall_sa, 3), "unit": "s", **ext_sa}
+    if gated:
+        m["vs_baseline"] = round(L40S_SURFACE_S / wall_sa, 3)
+    else:
+        m["gate_failed"] = (f"iou {iou_sa:.4f} < {IOU_BAR}"
+                            if iou_sa < IOU_BAR else
+                            f"only {ext_sa['iters_run']}/{N_STEPS} "
+                            f"iters before budget deadline")
+    return m
+
+
+def _phase_child(phase_name, budget):
+    """Run ONE workload in a fresh process and parse its JSON line.
+
+    Process isolation is what makes the benchmark survivable on this
+    backend: (a) the tunneled worker retains ~14 GB of a process's
+    allocations/workspaces even after jax.clear_caches() + gc, so a
+    second heavy workload in the same process starts on a nearly-full
+    chip (the r03/r04 OOMs and this round's surface-aware gate OOM);
+    (b) a stalled dispatch blocks Python signal delivery forever, but
+    the PARENT can always kill a hung child and move on."""
+    import subprocess
+    env = dict(os.environ)
+    env["DRTVAM_BENCH_ONLY"] = phase_name
+    env["DRTVAM_BENCH_BUDGET_S"] = str(max(60, int(budget)))
+    print(f"# orchestrator: {phase_name} child, budget {budget:.0f}s",
+          file=sys.stderr, flush=True)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE)
+    _CHILD["proc"] = proc
+    try:
+        out, _ = proc.communicate(timeout=budget + 40)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        print(f"# orchestrator: {phase_name} child exceeded "
+              f"{budget + 40:.0f}s — killed", file=sys.stderr, flush=True)
+        return None
+    finally:
+        _CHILD["proc"] = None
+    lines = [ln for ln in out.decode(errors="replace").splitlines()
+             if ln.startswith("{")]
+    if proc.returncode != 0:
+        print(f"# orchestrator: {phase_name} child rc={proc.returncode}",
+              file=sys.stderr, flush=True)
+    if not lines:
+        return None
+    return json.loads(lines[-1])
+
+
+def _strip(d):
+    return {k: v for k, v in d.items()
+            if k not in ("metric", "value", "unit")}
+
+
+def orchestrate():
+    """Default top level: one child process per workload; the parent
+    never touches the TPU and can always emit what completed."""
+    t_all = time.time()
+    bj = _phase_child("ballistic", min(remaining_s() - 210, 300)
+                      if remaining_s() > 410 else remaining_s() - 20)
+    if bj is None:
+        print("# orchestrator: no ballistic result — nothing to report",
+              file=sys.stderr, flush=True)
+        os._exit(1)
+    wall_b, ext_b = bj["value"], _strip(bj)
+    checkpoint(ballistic_metric(wall_b, ext_b, [ext_b]))
+
+    extra = []
+    skip_scat = os.environ.get("DRTVAM_BENCH_SKIP_SCATTERING") == "1"
+    if not skip_scat and remaining_s() > 220:
+        time.sleep(10)  # worker-side release of the previous child
+        sj = _phase_child("scattering", remaining_s() - 15)
+        if sj is not None:
+            extra.append(scat_metric(sj["value"], sj.get("iou", 0.0),
+                                     _strip(sj)))
+        else:
+            extra.append({"metric": "scattering child failed/timed out",
+                          "value": None})
+        checkpoint(ballistic_metric(wall_b, ext_b, extra + [ext_b]))
+
+        if remaining_s() > 360:
+            time.sleep(10)
+            aj = _phase_child("surface", remaining_s() - 30)
+            if aj is not None:
+                extra.append(sa_metric(aj["value"], aj.get("iou", 0.0),
+                                       _strip(aj)))
+            else:
+                extra.append({"metric": "surface-aware child "
+                                        "failed/timed out",
+                              "value": None})
+        else:
+            print(f"# surface-aware phase skipped: {remaining_s():.0f}s "
+                  f"left of the {BUDGET_S:.0f}s budget",
+                  file=sys.stderr, flush=True)
+            extra.append({"metric": "surface-aware workload skipped "
+                                    "(budget)", "value": None})
+    elif not skip_scat:
+        print(f"# scattering phases skipped: {remaining_s():.0f}s left "
+              f"of the {BUDGET_S:.0f}s budget", file=sys.stderr,
+              flush=True)
+        extra.append({"metric": "scattering workloads skipped (budget)",
+                      "value": None})
+
+    total = time.time() - t_all
+    print(f"# first-run total incl. backend init + compiles: "
+          f"{total:.1f}s", file=sys.stderr)
+    extra.append({
+        "metric": "cold first-run total (backend init + all compiles + "
+                  "all workloads)",
+        "value": round(total, 1), "unit": "s",
+    })
+    checkpoint(ballistic_metric(wall_b, ext_b, extra + [ext_b]))
+
+
 def main():
     import gc
+    only = os.environ.get("DRTVAM_BENCH_ONLY")
+    if not only and os.environ.get("DRTVAM_BENCH_NO_ISOLATE") != "1":
+        return orchestrate()
+
     from drtvam_tpu.opt.loss import ThresholdedLoss
 
     t_all = time.time()
@@ -769,21 +928,31 @@ def main():
 
     loss_obj = ThresholdedLoss({"tl": 0.9, "tu": 0.95})
 
-    if os.environ.get("DRTVAM_BENCH_ONLY") == "surface":
-        # validation hook: exercise just the third workload
+    if only == "surface":
         wall_sa, iou_sa, ext_sa = run_surface_aware()
-        print(json.dumps({"metric": "surface-aware only (validation)",
+        print(json.dumps({"metric": "surface-aware only (phase child)",
                           "value": round(wall_sa, 3), "unit": "s",
                           **ext_sa}), flush=True)
         return
-    if os.environ.get("DRTVAM_BENCH_ONLY") == "scattering":
-        # validation hook: exercise just the second workload
+    if only == "scattering":
         wall_s, iou_s, ext_s = run_scattering(loss_obj)
-        print(json.dumps({"metric": "scattering only (validation)",
+        print(json.dumps({"metric": "scattering only (phase child)",
                           "value": round(wall_s, 3), "unit": "s",
                           **ext_s}), flush=True)
         return
+    if only == "ballistic":
+        wall_b, iou_b, ext_b = run_ballistic(loss_obj)
+        assert iou_b >= IOU_BAR, \
+            f"ballistic IoU {iou_b:.4f} below the {IOU_BAR} bar — the " \
+            "speed number would be meaningless; failing loudly."
+        print(json.dumps({"metric": "ballistic only (phase child)",
+                          "value": round(wall_b, 3), "unit": "s",
+                          **ext_b}), flush=True)
+        return
+    if only:
+        raise SystemExit(f"unknown DRTVAM_BENCH_ONLY={only!r}")
 
+    # monolithic single-process path (DRTVAM_BENCH_NO_ISOLATE=1)
     wall_b, iou_b, ext_b = run_ballistic(loss_obj)
     assert iou_b >= IOU_BAR, \
         f"ballistic IoU {iou_b:.4f} below the {IOU_BAR} quality bar — " \
@@ -795,45 +964,6 @@ def main():
     checkpoint(ballistic_metric(wall_b, ext_b, [ext_b]))
 
     extra = []
-
-    def scat_metric(wall_s, iou_s, ext_s):
-        gated = iou_s >= IOU_BAR and ext_s["iters_run"] == N_STEPS
-        m = {
-            "metric": f"benchy-class (phantom rev r03) cylindrical "
-                      f"SCATTERING albedo 0.5 "
-                      f"{N_ANGLES} angles {DMD}x{DMD} DMD {FILM}^3 film "
-                      f"{ext_s['iters_run']}-iter LinearLBFGS (hybrid "
-                      f"engine, residual spp {SCAT_SPP}; quality-gated "
-                      f"IoU>={IOU_BAR}) vs L40S 14m10s",
-            "value": round(wall_s, 3), "unit": "s", **ext_s}
-        if gated:
-            m["vs_baseline"] = round(L40S_SCATTERING_S / wall_s, 3)
-        else:
-            m["gate_failed"] = (f"iou {iou_s:.4f} < {IOU_BAR}"
-                                if iou_s < IOU_BAR else
-                                f"only {ext_s['iters_run']}/{N_STEPS} "
-                                f"iters before budget deadline")
-        return m
-
-    def sa_metric(wall_sa, iou_sa, ext_sa):
-        gated = iou_sa >= IOU_BAR and ext_sa["iters_run"] == N_STEPS
-        m = {
-            "metric": f"benchy-class (phantom rev r03) square SCATTERING"
-                      f" albedo 0.5 + SURFACE-AWARE loss + Radon-culled "
-                      f"black pixels, {N_ANGLES} angles {DMD}x{DMD} DMD "
-                      f"{FILM}^3 film {ext_sa['iters_run']}-iter "
-                      f"LinearLBFGS (hybrid engine, residual spp "
-                      f"{SCAT_SPP}; quality-gated IoU>={IOU_BAR}) "
-                      f"vs L40S 3m45s",
-            "value": round(wall_sa, 3), "unit": "s", **ext_sa}
-        if gated:
-            m["vs_baseline"] = round(L40S_SURFACE_S / wall_sa, 3)
-        else:
-            m["gate_failed"] = (f"iou {iou_sa:.4f} < {IOU_BAR}"
-                                if iou_sa < IOU_BAR else
-                                f"only {ext_sa['iters_run']}/{N_STEPS} "
-                                f"iters before budget deadline")
-        return m
 
     skip_scat = os.environ.get("DRTVAM_BENCH_SKIP_SCATTERING") == "1"
     # a scattering phase needs >= build (~25 s) + warmup compile (up to
