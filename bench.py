@@ -657,7 +657,10 @@ def run_scattering(loss_obj):
     # 3 renders into ONE program and the 1.5B-lane dispatch crashed the
     # TPU worker). When the budget is nearly spent, fall back to a
     # single seed.
-    n_seeds = 3 if remaining_s() > 45 else 1
+    # each spp-4 gate render costs ~30 s at this scale — pick the seed
+    # count the remaining budget can actually pay for
+    rem = remaining_s()
+    n_seeds = 3 if rem > 115 else (2 if rem > 80 else 1)
     vol_g = gate_volume(eng, p_fin, inv_vol, ep, n_seeds)
     iou, thr = best_iou_abs(vol_g[..., 0], target[..., 0])
     print(f"# scattering: best IoU {iou:.4f} @ threshold {thr:.3f} "
@@ -730,7 +733,8 @@ def run_surface_aware():
     # belongs to; IoU vs the binary occupancy under the absolute sweep
     mem_report("surface-aware pre-gate")
     mask_j = jnp.asarray(mask, jnp.float32)
-    n_seeds = 3 if remaining_s() > 45 else 1
+    rem = remaining_s()
+    n_seeds = 3 if rem > 115 else (2 if rem > 80 else 1)
     vol_g = gate_volume(eng, p_fin, inv_vol, ep, n_seeds)
     mem_report("surface-aware post-gate-render")
     combined = jnp.where(mask_j > 0.5, vol_g[..., 0], vol_g[..., 1])
