@@ -35,7 +35,7 @@ it; the cold first-run total is reported separately in "extra" so
 nothing hides.
 
 Robustness: the script enforces its own wall-clock budget
-(DRTVAM_BENCH_BUDGET_S, default 480 s) — optional phases are skipped
+(DRTVAM_BENCH_BUDGET_S, default 510 s) — optional phases are skipped
 when they can't fit, optimization loops run in bounded device
 dispatches with budget checks between them, each completed result is
 checkpointed to stdout immediately, and a watchdog THREAD (signals
