@@ -873,7 +873,7 @@ def orchestrate():
     extra = []
     skip_scat = os.environ.get("DRTVAM_BENCH_SKIP_SCATTERING") == "1"
     if not skip_scat and remaining_s() > 220:
-        time.sleep(10)  # worker-side release of the previous child
+        time.sleep(20)  # worker-side release of the previous child
         sj = _phase_child("scattering", remaining_s() - 15)
         if sj is not None:
             extra.append(scat_metric(sj["value"], sj.get("iou", 0.0),
@@ -884,7 +884,7 @@ def orchestrate():
         checkpoint(ballistic_metric(wall_b, ext_b, extra + [ext_b]))
 
         if remaining_s() > 360:
-            time.sleep(10)
+            time.sleep(20)
             aj = _phase_child("surface", remaining_s() - 30)
             if aj is not None:
                 extra.append(sa_metric(aj["value"], aj.get("iou", 0.0),
