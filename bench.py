@@ -278,20 +278,25 @@ def best_iou_abs(vol, target):
     except Exception as e:
         print(f"# device IoU sweep failed ({type(e).__name__}) — exact "
               f"host-side sweep", file=sys.stderr)
-        v = np.asarray(vol).ravel()
-        tm = np.asarray(target).ravel() > 0.5
-        vo = np.sort(v[tm])
-        vv = np.sort(v[~tm])
-        n_t = vo.size
-        best_i, best_t = 0.0, 0.0
-        for thr in np.linspace(0.0, 1.3, 301):
-            inter = n_t - np.searchsorted(vo, thr, side="right")
-            union = n_t + (vv.size - np.searchsorted(vv, thr,
-                                                     side="right"))
-            iou = inter / max(union, 1)
-            if iou > best_i:
-                best_i, best_t = float(iou), float(thr)
-        return best_i, best_t
+        return best_iou_host(np.asarray(vol), np.asarray(target))
+
+
+def best_iou_host(v, tm):
+    """Exact host-side sweep; v/tm numpy (same math as _iou_sweep)."""
+    v = v.ravel()
+    tm = tm.ravel() > 0.5
+    vo = np.sort(v[tm])
+    vv = np.sort(v[~tm])
+    n_t = vo.size
+    best_i, best_t = 0.0, 0.0
+    for thr in np.linspace(0.0, 1.3, 301):
+        inter = n_t - np.searchsorted(vo, thr, side="right")
+        union = n_t + (vv.size - np.searchsorted(vv, thr,
+                                                 side="right"))
+        iou = inter / max(union, 1)
+        if iou > best_i:
+            best_i, best_t = float(iou), float(thr)
+    return best_i, best_t
 
 
 def make_lbfgs_run(eng, loss_obj, inv_vol, n_steps, hybrid=False):
@@ -732,13 +737,18 @@ def run_surface_aware():
     # gate: physical dose density per voxel = the channel the voxel
     # belongs to; IoU vs the binary occupancy under the absolute sweep
     mem_report("surface-aware pre-gate")
-    mask_j = jnp.asarray(mask, jnp.float32)
     rem = remaining_s()
     n_seeds = 3 if rem > 115 else (2 if rem > 80 else 1)
     vol_g = gate_volume(eng, p_fin, inv_vol, ep, n_seeds)
     mem_report("surface-aware post-gate-render")
-    combined = jnp.where(mask_j > 0.5, vol_g[..., 0], vol_g[..., 1])
-    iou, thr = best_iou_abs(combined, mask_j)
+    # channel-select + sweep fully on the HOST: by gate time the worker
+    # holds its high-water allocations (only process exit releases
+    # them) and even a 67 MB `where` OOMs; transferring the already-
+    # materialized render needs no new device memory.
+    vol_np = np.asarray(vol_g)
+    mask_np = np.asarray(mask, np.float32).reshape(vol_np.shape[:3])
+    combined = np.where(mask_np > 0.5, vol_np[..., 0], vol_np[..., 1])
+    iou, thr = best_iou_host(combined, mask_np)
     print(f"# surface-aware: best IoU {iou:.4f} @ threshold {thr:.3f} "
           f"({n_seeds}x spp-{GATE_SPP} first-scatter reference renders)",
           file=sys.stderr)
